@@ -1,0 +1,192 @@
+"""Per-bijector property tests: reverse(forward(x)) ≈ x and
+logdet ≡ log|det ∂f/∂x| computed by autodiff on small shapes
+(SURVEY.md §4 unit-test strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuflow.flows import (
+    ActNorm,
+    AffineCoupling,
+    ConditionalPrior,
+    ConditionalSplit,
+    InvConv1x1LU,
+    gaussian_logp,
+    squeeze2d,
+    unsqueeze2d,
+)
+
+B, H, W, C = 2, 4, 4, 4
+COND_C = 3
+
+
+def _rand(rng, shape):
+    return jax.random.normal(rng, shape, dtype=jnp.float32)
+
+
+def _check_roundtrip(module, variables, x, cond=None, tol=1e-4, **kw):
+    args_f = (x,) if cond is None else (x, cond)
+    z, ld_f = module.apply(variables, *args_f, reverse=False, **kw)
+    args_r = (z,) if cond is None else (z, cond)
+    x_rec, ld_r = module.apply(variables, *args_r, reverse=True, **kw)
+    np.testing.assert_allclose(x_rec, x, atol=tol, rtol=0)
+    np.testing.assert_allclose(ld_f, -ld_r, atol=1e-4, rtol=1e-5)
+    return z, ld_f
+
+
+def _check_logdet_vs_jacobian(fwd_flat, x, logdet, tol=1e-3):
+    """fwd_flat: (D,) -> (D,) single-example flat transform."""
+    x0 = x[0].reshape(-1)
+    jac = jax.jacfwd(fwd_flat)(x0)
+    _, ref = jnp.linalg.slogdet(jac)
+    np.testing.assert_allclose(logdet[0], ref, atol=tol, rtol=1e-4)
+
+
+def test_actnorm_roundtrip_and_init_stats():
+    rng = jax.random.PRNGKey(0)
+    x = 3.0 + 2.0 * _rand(rng, (B, H, W, C))
+    m = ActNorm()
+    variables = m.init(jax.random.PRNGKey(1), x)
+    z, _ = m.apply(variables, x)
+    # Data-dependent init: normalized first batch.
+    np.testing.assert_allclose(np.mean(z, axis=(0, 1, 2)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.std(z, axis=(0, 1, 2)), 1.0, atol=1e-3)
+    _check_roundtrip(m, variables, x)
+
+
+def test_actnorm_logdet():
+    rng = jax.random.PRNGKey(2)
+    x = _rand(rng, (B, H, W, C))
+    m = ActNorm()
+    variables = m.init(jax.random.PRNGKey(3), x)
+    z, ld = m.apply(variables, x)
+
+    def f(xf):
+        out, _ = m.apply(variables, xf.reshape(1, H, W, C))
+        return out.reshape(-1)
+
+    _check_logdet_vs_jacobian(f, x, ld)
+
+
+def test_inv1x1_roundtrip_logdet():
+    rng = jax.random.PRNGKey(4)
+    x = _rand(rng, (B, H, W, C))
+    m = InvConv1x1LU()
+    variables = m.init(jax.random.PRNGKey(5), x)
+    z, ld = _check_roundtrip(m, variables, x)
+    # At init W is a rotation: logdet == 0 and |z| == |x|.
+    np.testing.assert_allclose(ld, 0.0, atol=1e-3)
+    np.testing.assert_allclose(
+        np.linalg.norm(z), np.linalg.norm(x), rtol=1e-5
+    )
+
+    def f(xf):
+        out, _ = m.apply(variables, xf.reshape(1, H, W, C))
+        return out.reshape(-1)
+
+    _check_logdet_vs_jacobian(f, x, ld)
+
+
+def test_inv1x1_logdet_after_perturbation():
+    # Move log_s off zero so logdet is nontrivial, re-check vs autodiff.
+    rng = jax.random.PRNGKey(6)
+    x = _rand(rng, (B, H, W, C))
+    m = InvConv1x1LU()
+    variables = m.init(jax.random.PRNGKey(7), x)
+    variables = jax.tree.map(lambda a: a, variables)  # unfreeze-safe copy
+    params = dict(variables["params"])
+    params["log_s"] = params["log_s"] + 0.3
+    variables = {"params": params, "buffers": variables["buffers"]}
+    z, ld = _check_roundtrip(m, variables, x)
+
+    def f(xf):
+        out, _ = m.apply(variables, xf.reshape(1, H, W, C))
+        return out.reshape(-1)
+
+    _check_logdet_vs_jacobian(f, x, ld)
+
+
+@pytest.mark.parametrize("with_cond", [False, True])
+def test_coupling_roundtrip_logdet(with_cond):
+    rng = jax.random.PRNGKey(8)
+    x = _rand(rng, (B, H, W, C))
+    cond = _rand(jax.random.PRNGKey(9), (B, H, W, COND_C)) if with_cond else None
+    m = AffineCoupling(width=8, layers=2, growth_rate=4, dtype=jnp.float32)
+    variables = m.init(jax.random.PRNGKey(10), x, cond)
+
+    # Perturb the zero-init output conv so the transform is nontrivial.
+    params = jax.tree.map(lambda a: a, variables["params"])
+    kern = params["net"]["conv_out"]["kernel"]
+    params["net"]["conv_out"]["kernel"] = (
+        kern + 0.05 * jax.random.normal(jax.random.PRNGKey(11), kern.shape)
+    )
+    variables = {"params": params}
+
+    z, ld = _check_roundtrip(m, variables, x, cond)
+    assert not np.allclose(z, x)
+
+    def f(xf):
+        c1 = None if cond is None else cond[:1]
+        args = (xf.reshape(1, H, W, C),) if c1 is None else (
+            xf.reshape(1, H, W, C), c1)
+        out, _ = m.apply(variables, *args)
+        return out.reshape(-1)
+
+    _check_logdet_vs_jacobian(f, x, ld)
+
+
+def test_squeeze_roundtrip_and_shape():
+    rng = jax.random.PRNGKey(12)
+    x = _rand(rng, (B, H, W, C))
+    y = squeeze2d(x)
+    assert y.shape == (B, H // 2, W // 2, 4 * C)
+    np.testing.assert_array_equal(unsqueeze2d(y), x)
+
+
+def test_split_logp_and_reverse():
+    rng = jax.random.PRNGKey(13)
+    z = _rand(rng, (B, H, W, C))
+    cond = _rand(jax.random.PRNGKey(14), (B, H, W, COND_C))
+    m = ConditionalSplit(dtype=jnp.float32)
+    variables = m.init(jax.random.PRNGKey(15), z, cond)
+
+    keep, drop, logp = m.apply(variables, z, cond)
+    assert keep.shape == (B, H, W, C // 2)
+    # Zero-init prior net => prior is exactly N(0, I).
+    ref = gaussian_logp(z[..., C // 2:], jnp.zeros(()), jnp.zeros(()))
+    np.testing.assert_allclose(logp, ref, rtol=1e-5)
+
+    # Reconstruction path: feeding the factored latent back is exact.
+    rec, _ = m.apply(variables, keep, cond, reverse=True, drop=drop)
+    np.testing.assert_array_equal(rec, z)
+
+    # Generation path: sample the prior at temperature tau.
+    out, neg_logp = m.apply(
+        variables, keep, cond, reverse=True,
+        rng=jax.random.PRNGKey(16), temperature=0.7,
+    )
+    assert out.shape == z.shape
+    np.testing.assert_allclose(out[..., : C // 2], keep, atol=1e-6)
+    assert np.all(np.isfinite(neg_logp))
+
+
+def test_conditional_prior_logp_and_sample():
+    rng = jax.random.PRNGKey(17)
+    z = _rand(rng, (B, H, W, C))
+    cond = _rand(jax.random.PRNGKey(18), (B, H, W, COND_C))
+    m = ConditionalPrior(dtype=jnp.float32)
+    variables = m.init(jax.random.PRNGKey(19), z, cond)
+
+    _, logp = m.apply(variables, z, cond)
+    ref = gaussian_logp(z, jnp.zeros(()), jnp.zeros(()))
+    np.testing.assert_allclose(logp, ref, rtol=1e-5)
+
+    z_s, _ = m.apply(
+        variables, C, cond, reverse=True,
+        rng=jax.random.PRNGKey(20), temperature=0.0,
+    )
+    # Temperature 0 => the prior mean (zero at init).
+    np.testing.assert_allclose(z_s, 0.0, atol=1e-6)
+    assert z_s.shape == (B, H, W, C)

@@ -1,0 +1,196 @@
+"""Typed configuration system.
+
+Capability parity: the reference's flat argparse namespace
+(``tmglow/args.py``, SURVEY.md L0 / §2 "Config/args") is rebuilt as typed
+dataclasses + per-case YAML presets + CLI ``key=value`` overrides,
+preserving the reference's case API: one flag selects the case
+(backward-step vs cylinder-array) end-to-end (BASELINE.json configs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import importlib.resources
+import pathlib
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+_CASES_DIR = pathlib.Path(__file__).parent / "cases"
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """TM-Glow architecture hyperparameters (arXiv:2006.04731 §3)."""
+
+    # Multi-scale Glow structure: L scales, K steps-of-flow per scale.
+    n_scales: int = 3
+    n_flow_steps: int = 8
+    # HF field channels (u, v, p).
+    channels: int = 3
+    # HF grid (H, W); must be divisible by 2**n_scales.
+    hf_shape: tuple[int, int] = (64, 128)
+    # LF grid (H, W) — coarse-solver resolution.
+    lf_shape: tuple[int, int] = (16, 32)
+    # Dense-block coupling network width / depth (paper: DenseNet-style
+    # coupling CNNs).
+    coupling_width: int = 64
+    coupling_layers: int = 3
+    growth_rate: int = 32
+    # LF conditioning encoder width.
+    encoder_width: int = 32
+    # Per-scale ConvLSTM hidden channels.
+    lstm_hidden: int = 32
+    # Conditioning feature channels delivered to coupling/split layers.
+    cond_channels: int = 32
+    # Matmul/conv dtype for the *networks* (coupling/encoder/LSTM).
+    # The invertible flow arithmetic itself is always float32 — nets can
+    # run bfloat16 without breaking invertibility because the identical
+    # net output is used in forward and inverse directions.
+    compute_dtype: str = "bfloat16"
+    # Use Pallas fused coupling/actnorm kernels (TPU only).
+    use_pallas: bool = True
+
+    def validate(self) -> None:
+        h, w = self.hf_shape
+        div = 2 ** self.n_scales
+        if h % div or w % div:
+            raise ValueError(
+                f"hf_shape {self.hf_shape} must be divisible by 2^{self.n_scales}"
+            )
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset locations and windowing (SURVEY.md L1)."""
+
+    data_dir: str = "./datasets"
+    case: str = "backward-step"
+    # Truncated-BPTT window length (timesteps per gradient segment).
+    window: int = 8
+    # Trajectory length used for training (timesteps loaded per traj).
+    train_steps: int = 64
+    n_train_traj: int = 32
+    n_test_traj: int = 4
+    batch_size: int = 8
+    # If true, generate a procedural synthetic dataset (no archives
+    # needed — SURVEY.md §7 step 4).
+    synthetic: bool = True
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 100
+    lr: float = 1e-3
+    lr_decay: float = 0.995
+    weight_decay: float = 0.0
+    grad_clip: float = 10.0
+    # Rematerialize per-timestep activations inside the BPTT window to
+    # bound HBM (SURVEY.md §7 hard part 3).
+    remat: bool = True
+    checkpoint_dir: str = "./checkpoints"
+    checkpoint_every: int = 10
+    log_every: int = 10
+    seed: int = 42
+    # Mesh axis sizes; -1 on data means "all remaining devices".
+    mesh_data: int = -1
+    mesh_ensemble: int = 1
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    n_samples: int = 64           # UQ ensemble size (BASELINE config #4)
+    rollout_steps: int = 100      # autoregressive horizon (config #1)
+    temperature: float = 0.7      # sampling temperature tau (paper §4)
+    output_dir: str = "./eval_out"
+
+
+@dataclass(frozen=True)
+class CaseConfig:
+    name: str = "backward-step"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+
+    def validate(self) -> None:
+        self.model.validate()
+
+
+def _from_dict(cls, d: dict[str, Any]):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) or f.name in (
+            "model", "data", "train", "eval",
+        ):
+            sub = {"model": ModelConfig, "data": DataConfig,
+                   "train": TrainConfig, "eval": EvalConfig}[f.name]
+            v = _from_dict(sub, v)
+        elif isinstance(v, list):
+            v = tuple(v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def _apply_overrides(cfg: CaseConfig, overrides: dict[str, Any]) -> CaseConfig:
+    """Apply dotted-path overrides, e.g. {"model.n_scales": 2}."""
+    d = dataclasses.asdict(cfg)
+    for key, val in overrides.items():
+        parts = key.split(".")
+        node = d
+        for p in parts[:-1]:
+            node = node[p]
+        if parts[-1] not in node:
+            raise KeyError(f"unknown config key: {key}")
+        old = node[parts[-1]]
+        if isinstance(old, bool):
+            val = val if isinstance(val, bool) else str(val).lower() in ("1", "true", "yes")
+        elif isinstance(old, int):
+            val = int(val)
+        elif isinstance(old, float):
+            val = float(val)
+        elif isinstance(old, (tuple, list)):
+            if isinstance(val, str):
+                val = tuple(int(x) for x in val.strip("()[] ").split(","))
+            else:
+                val = tuple(val)
+        node[parts[-1]] = val
+    return _from_dict(CaseConfig, d)
+
+
+def case_names() -> list[str]:
+    return sorted(p.stem for p in _CASES_DIR.glob("*.yaml"))
+
+
+def load_case(name_or_path: str, overrides: dict[str, Any] | None = None) -> CaseConfig:
+    """Load a case preset YAML (by name or path) with optional overrides."""
+    path = pathlib.Path(name_or_path)
+    if not path.exists():
+        path = _CASES_DIR / f"{name_or_path}.yaml"
+    if not path.exists():
+        raise FileNotFoundError(
+            f"no case config {name_or_path!r}; known cases: {case_names()}"
+        )
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    cfg = _from_dict(CaseConfig, raw)
+    if overrides:
+        cfg = _apply_overrides(cfg, overrides)
+    cfg.validate()
+    return cfg
+
+
+def parse_cli_overrides(argv: list[str]) -> dict[str, Any]:
+    """Parse trailing ``key=value`` CLI arguments into an override dict."""
+    out: dict[str, Any] = {}
+    for arg in argv:
+        if "=" not in arg:
+            raise ValueError(f"override must be key=value, got {arg!r}")
+        k, v = arg.split("=", 1)
+        out[k] = v
+    return out

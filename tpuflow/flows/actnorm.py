@@ -1,0 +1,63 @@
+"""ActNorm — per-channel affine with data-dependent initialization.
+
+Parity: standard Glow component used by the reference
+(SURVEY.md §2 "ActNorm"; Kingma & Dhariwal 2018 §3.1): after init, the
+first batch's post-activation statistics give zero mean / unit variance
+per channel; logdet = H*W * sum(log_scale).
+
+TPU-first design: the reference's stateful "initialize on first
+forward" mutation does not exist in functional JAX. Instead the
+data-dependent statistics are computed *inside the linen parameter
+initializers*, which close over the batch passed to ``model.init`` —
+initialization therefore sees true post-preceding-layer activations
+(the same semantics as the reference), but the resulting module is a
+pure function afterwards (SURVEY.md §7 hard part 1). ``model.init``
+must trace the forward (normalizing) direction.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class ActNorm(nn.Module):
+    """Invertible per-channel affine: y = (x + bias) * exp(log_scale).
+
+    Forward returns (y, logdet) with logdet shaped like the batch axes;
+    reverse returns (x, -logdet).
+    """
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, *, reverse: bool = False
+    ) -> tuple[jax.Array, jax.Array]:
+        c = x.shape[-1]
+        reduce_axes = tuple(range(x.ndim - 1))
+
+        def bias_init(rng, shape):
+            del rng, shape
+            return -jnp.mean(x.astype(jnp.float32), axis=reduce_axes)
+
+        def log_scale_init(rng, shape):
+            del rng, shape
+            std = jnp.std(x.astype(jnp.float32), axis=reduce_axes)
+            return -jnp.log(std + self.eps)
+
+        bias = self.param("bias", bias_init, (c,))
+        log_scale = self.param("log_scale", log_scale_init, (c,))
+
+        h, w = x.shape[-3], x.shape[-2]
+        logdet = jnp.broadcast_to(
+            h * w * jnp.sum(log_scale), x.shape[:-3]
+        ).astype(jnp.float32)
+
+        x32 = x.astype(jnp.float32)
+        if reverse:
+            y = x32 * jnp.exp(-log_scale) - bias
+            return y, -logdet
+        y = (x32 + bias) * jnp.exp(log_scale)
+        return y, logdet
