@@ -9,10 +9,20 @@ coupling starts at the identity (Glow training stability trick).
 
 TPU-first: the coupling CNN runs in ``compute_dtype`` (bfloat16 on TPU)
 — its convs are the model's FLOPs hot spot (SURVEY.md §3.1) and land on
-the MXU. Invertibility is untouched because the *identical* net output
-conditions forward and inverse; only the affine apply must be float32,
-and that runs through the fused kernel dispatcher
-(:func:`tpuflow.kernels.coupling_apply`).
+the MXU. The affine apply is always float32 via the fused kernel
+dispatcher (:func:`tpuflow.kernels.coupling_apply`).
+
+Numerics of invertibility (measured on real TPU): in the reverse pass
+the net input carries the reconstruction error of *later* layers, and
+a conv's discrete rounding responds to any input perturbation with a
+jump at its precision floor — so roundtrip error settles at the conv
+precision, not at f32 eps. TPU's default f32 conv precision is bf16,
+which yields ~1e-3 roundtrip error. Therefore all flow-path convs pin
+``precision=HIGHEST`` (exact f32 when dtype is float32 — the <1e-4
+reconstruction gate's contract; a no-op for bf16 operands, so the bf16
+throughput path pays nothing). bf16 compute_dtype is for the
+one-directional hot paths (training = forward-only, sampling =
+reverse-only) where exact invertibility is never exercised.
 """
 
 from __future__ import annotations
@@ -38,22 +48,23 @@ class DenseBlockNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        hp = jax.lax.Precision.HIGHEST
         x = x.astype(self.dtype)
         h = nn.Conv(
             self.width, (3, 3), padding="SAME", dtype=self.dtype,
-            param_dtype=jnp.float32, name="conv_in",
+            param_dtype=jnp.float32, precision=hp, name="conv_in",
         )(x)
         h = nn.relu(h)
         for i in range(self.layers):
             g = nn.Conv(
                 self.growth_rate, (3, 3), padding="SAME", dtype=self.dtype,
-                param_dtype=jnp.float32, name=f"dense_{i}",
+                param_dtype=jnp.float32, precision=hp, name=f"dense_{i}",
             )(h)
             g = nn.relu(g)
             h = jnp.concatenate([h, g], axis=-1)
         out = nn.Conv(
             self.out_channels, (3, 3), padding="SAME", dtype=self.dtype,
-            param_dtype=jnp.float32, name="conv_out",
+            param_dtype=jnp.float32, precision=hp, name="conv_out",
             kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
         )(h)
         return out

@@ -35,6 +35,7 @@ class _PriorNet(nn.Module):
         st = nn.Conv(
             2 * self.out_channels, (3, 3), padding="SAME",
             dtype=self.dtype, param_dtype=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
             name="prior_conv",

@@ -1,0 +1,51 @@
+"""Conditional ConvLSTM cell — the transient "T" in TM-Glow.
+
+Parity: SURVEY.md §2 "Conditional ConvLSTM recurrence" /
+arXiv:2006.04731 §3: one ConvLSTM per Glow scale carries (h, c) across
+physical time steps, consuming the LF-encoder feature at that scale;
+its hidden state conditions the coupling layers and split priors.
+
+TPU-first design: the cell is a pure function (x, (h, c)) -> (h', (h',
+c')) so it threads through ``jax.lax.scan`` as carry state (SURVEY.md
+§5 long-context: O(1)-memory autoregressive recurrence). The gate conv
+runs in ``dtype`` (bf16 on TPU, MXU-bound); the cell state is held and
+updated in float32 so long rollouts don't drift.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+State = tuple[jax.Array, jax.Array]  # (h, c), float32
+
+
+class ConvLSTMCell(nn.Module):
+    """Single-step ConvLSTM: gates from one conv over [x, h]."""
+
+    hidden: int
+    kernel: tuple[int, int] = (3, 3)
+    forget_bias: float = 1.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, state: State) -> tuple[jax.Array, State]:
+        h, c = state
+        inp = jnp.concatenate(
+            [x.astype(self.dtype), h.astype(self.dtype)], axis=-1
+        )
+        gates = nn.Conv(
+            4 * self.hidden, self.kernel, padding="SAME", dtype=self.dtype,
+            param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST, name="gates",
+        )(inp)
+        gates = gates.astype(jnp.float32)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = (
+            jax.nn.sigmoid(f + self.forget_bias) * c.astype(jnp.float32)
+            + jax.nn.sigmoid(i) * jnp.tanh(g)
+        )
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        return h_new, (h_new, c_new)
