@@ -1,0 +1,82 @@
+"""Data pipeline tests: synthetic fixture contract, normalization,
+windowing, archive roundtrip (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from tpuflow.configs.config import DataConfig, ModelConfig
+from tpuflow.data import TrajectoryDataset, generate_case, load_dataset
+from tpuflow.data.dataset import load_archive, save_archive
+
+
+def test_generate_case_shapes_and_determinism():
+    lf, hf = generate_case("backward-step", 2, 8, (32, 64), (8, 16), seed=1)
+    assert lf.shape == (2, 8, 8, 16, 3)
+    assert hf.shape == (2, 8, 32, 64, 3)
+    assert lf.dtype == np.float32 and hf.dtype == np.float32
+    lf2, hf2 = generate_case("backward-step", 2, 8, (32, 64), (8, 16), seed=1)
+    np.testing.assert_array_equal(lf, lf2)
+    np.testing.assert_array_equal(hf, hf2)
+    # Trajectories differ (varying Reynolds-like params).
+    assert not np.allclose(hf[0], hf[1])
+    # Time evolves.
+    assert not np.allclose(hf[0, 0], hf[0, 1])
+
+
+def test_lf_correlates_with_hf():
+    """The multi-fidelity contract: LF is a degraded-but-correlated
+    rendering of HF (otherwise there is nothing to condition on)."""
+    lf, hf = generate_case("cylinder-array", 1, 4, (32, 64), (8, 16), seed=2)
+    hf_pooled = hf.reshape(1, 4, 8, 4, 16, 4, 3).mean(axis=(3, 5))
+    u_corr = np.corrcoef(lf[..., 0].ravel(), hf_pooled[..., 0].ravel())[0, 1]
+    assert u_corr > 0.8, u_corr
+
+
+def test_backward_step_geometry_mask():
+    _, hf = generate_case("backward-step", 1, 2, (32, 64), (8, 16), seed=0)
+    # Solid step region (x<0.5 of [0,4) domain, y<0.5 of [0,1)): zero velocity.
+    assert np.all(hf[:, :, :16, :8, :2] == 0.0)
+
+
+def test_unknown_case_raises():
+    with pytest.raises(ValueError, match="unknown case"):
+        generate_case("bogus", 1, 2, (16, 16), (4, 4))
+
+
+def test_dataset_normalization_and_windows():
+    lf, hf = generate_case("backward-step", 4, 16, (32, 64), (8, 16), seed=3)
+    ds = TrajectoryDataset(lf, hf)
+    # Normalized to ~zero mean / unit std per channel.
+    np.testing.assert_allclose(ds.hf.mean(axis=(0, 1, 2, 3)), 0.0, atol=1e-4)
+    np.testing.assert_allclose(ds.hf.std(axis=(0, 1, 2, 3)), 1.0, atol=1e-3)
+    # Denorm roundtrip.
+    np.testing.assert_allclose(ds.denorm_hf(ds.hf), hf, atol=1e-3)
+
+    batches = list(ds.traj_batches(seed=0, batch_size=2))
+    assert len(batches) == 2
+    wins = list(TrajectoryDataset.windows(*batches[0], window=5))
+    assert len(wins) == 3  # 16 // 5
+    assert wins[0][0].shape == (2, 5, 8, 16, 3)
+    # Consecutive windows (state carry contract).
+    np.testing.assert_array_equal(wins[1][0], batches[0][0][:, 5:10])
+
+
+def test_archive_roundtrip(tmp_path):
+    lf, hf = generate_case("backward-step", 1, 2, (16, 32), (4, 8), seed=4)
+    for name in ("a.npz", "a.h5"):
+        p = tmp_path / name
+        save_archive(p, lf, hf)
+        lf2, hf2 = load_archive(p)
+        np.testing.assert_array_equal(lf, lf2)
+        np.testing.assert_array_equal(hf, hf2)
+
+
+def test_load_dataset_synthetic_split_norm_consistency():
+    mc = ModelConfig(hf_shape=(32, 64), lf_shape=(8, 16), n_scales=2)
+    dc = DataConfig(synthetic=True, n_train_traj=3, n_test_traj=2,
+                    train_steps=4, case="backward-step")
+    tr = load_dataset(dc, mc, "train")
+    te = load_dataset(dc, mc, "test")
+    # Test split uses train-split normalization constants.
+    np.testing.assert_array_equal(tr.norm.hf_mean, te.norm.hf_mean)
+    assert te.n_traj == 2 and tr.n_traj == 3

@@ -1,0 +1,81 @@
+"""Held-out evaluation: test NLL + UQ physics statistics vs HF
+reference (SURVEY.md §3.2 / L5; BASELINE config #4).
+
+Usage: python -m tpuflow.cli.evaluate <case> [key=value ...]
+
+Computes held-out bits/dim over the test split, runs an ensemble
+rollout on each test trajectory, and reports TKE / moment / field
+errors of the prediction against the HF reference, with figures.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuflow.cli import parse_args
+from tpuflow.data.dataset import load_dataset
+from tpuflow.eval.loading import load_eval_bundle
+from tpuflow.eval.plots import plot_nll_curve, plot_tke
+from tpuflow.eval.rollout import make_ensemble_rollout, make_nll_eval
+from tpuflow.eval.stats import relative_l2, tke_field
+
+
+def main(argv=None) -> dict:
+    cfg = parse_args(argv)
+    model, variables, _ = load_eval_bundle(cfg)
+    ds = load_dataset(cfg.data, cfg.model, "test")
+    T = min(cfg.eval.rollout_steps, ds.n_steps)
+
+    # Held-out NLL (teacher-forced forward direction).
+    nll = jax.jit(make_nll_eval(model))
+    bpds = nll(variables, jnp.asarray(ds.lf[:, :T]), jnp.asarray(ds.hf[:, :T]))
+    bpd_per_step = np.asarray(bpds).mean(axis=1)
+
+    # Ensemble rollout per test trajectory -> physics statistics.
+    rollout = jax.jit(
+        make_ensemble_rollout(
+            model, cfg.eval.n_samples, cfg.eval.temperature, collect="stats"
+        )
+    )
+    tke_errs, mean_errs, var_mean = [], [], []
+    for i in range(ds.n_traj):
+        out = rollout(
+            variables, jnp.asarray(ds.lf[i, :T]), jax.random.PRNGKey(i)
+        )
+        mean, var = out["mean"], out["var"]
+        hf = jnp.asarray(ds.hf[i, :T])
+        # TKE of predicted ensemble (time-avg) vs HF temporal TKE.
+        tke_pred = tke_field(var).mean(axis=0)
+        tke_ref = tke_field(hf.var(axis=0))
+        tke_errs.append(float(relative_l2(tke_pred, tke_ref)))
+        mean_errs.append(float(relative_l2(mean, hf)))
+        var_mean.append(float(var.mean()))
+
+    out_dir = pathlib.Path(cfg.eval.output_dir) / cfg.name
+    out_dir.mkdir(parents=True, exist_ok=True)
+    plot_nll_curve(out_dir, bpd_per_step)
+    plot_tke(out_dir, np.asarray(tke_pred), np.asarray(tke_ref))
+
+    metrics = {
+        "test_bpd": float(np.mean(bpd_per_step)),
+        "test_bpd_last_step": float(bpd_per_step[-1]),
+        "tke_rel_l2_mean": float(np.mean(tke_errs)),
+        "field_rel_l2_mean": float(np.mean(mean_errs)),
+        "ensemble_var_mean": float(np.mean(var_mean)),
+        "n_test_traj": ds.n_traj,
+        "steps": T,
+        "n_samples": cfg.eval.n_samples,
+        "backend": jax.default_backend(),
+    }
+    (out_dir / "eval_metrics.json").write_text(json.dumps(metrics, indent=2))
+    print(json.dumps(metrics))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

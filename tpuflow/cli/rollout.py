@@ -1,0 +1,86 @@
+"""Autoregressive ensemble rollout from a checkpoint (SURVEY.md §3.2;
+BASELINE configs #1/#2/#4).
+
+Usage: python -m tpuflow.cli.rollout <case> [key=value ...]
+
+Rolls the model ``eval.rollout_steps`` steps with ``eval.n_samples``
+ensemble members at ``eval.temperature`` over the first test-split LF
+trajectory; writes ensemble statistics (.npz), prediction/TKE figures,
+and throughput numbers (rollout steps/sec — the north-star metric) to
+``eval.output_dir``.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuflow.cli import parse_args
+from tpuflow.data.dataset import load_dataset
+from tpuflow.eval.loading import load_eval_bundle
+from tpuflow.eval.plots import plot_prediction_panels, plot_tke
+from tpuflow.eval.rollout import make_ensemble_rollout
+from tpuflow.eval.stats import tke_field
+from tpuflow.utils.profiling import step_timer
+
+
+def main(argv=None) -> dict:
+    cfg = parse_args(argv)
+    model, variables, norm = load_eval_bundle(cfg)
+    # Note: for synthetic data load_dataset("test") reproduces the
+    # train-split normalization deterministically, which matches the
+    # checkpoint's stored constants; `norm` is authoritative for
+    # converted/real checkpoints.
+    ds = load_dataset(cfg.data, cfg.model, "test")
+    T = cfg.eval.rollout_steps
+    n_avail = ds.n_steps
+    if T > n_avail:
+        reps = -(-T // n_avail)
+        lf_traj = np.concatenate([ds.lf[0]] * reps, axis=0)[:T]
+        hf_traj = np.concatenate([ds.hf[0]] * reps, axis=0)[:T]
+    else:
+        lf_traj, hf_traj = ds.lf[0, :T], ds.hf[0, :T]
+
+    rollout = jax.jit(
+        make_ensemble_rollout(
+            model, cfg.eval.n_samples, cfg.eval.temperature, collect="stats"
+        )
+    )
+    # Compile once, then time the real run.
+    out = rollout(variables, jnp.asarray(lf_traj), jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    metrics: dict = {}
+    with step_timer(metrics, "rollout_steps_per_sec", n_items=T) as sync:
+        out = rollout(variables, jnp.asarray(lf_traj), jax.random.PRNGKey(1))
+        sync.append(out)
+
+    out_dir = pathlib.Path(cfg.eval.output_dir) / cfg.name
+    out_dir.mkdir(parents=True, exist_ok=True)
+    mean, var = np.asarray(out["mean"]), np.asarray(out["var"])
+    np.savez_compressed(out_dir / "rollout_stats.npz", mean=mean, var=var)
+
+    for t in (0, T // 2, T - 1):
+        plot_prediction_panels(
+            out_dir, lf_traj[t], hf_traj[t], mean[t], var[t], t
+        )
+    tke_pred = np.asarray(tke_field(var).mean(axis=0))
+    hf_var_time = hf_traj.var(axis=0)
+    plot_tke(out_dir, tke_pred, np.asarray(tke_field(jnp.asarray(hf_var_time))))
+
+    metrics.update(
+        steps=T,
+        n_samples=cfg.eval.n_samples,
+        temperature=cfg.eval.temperature,
+        backend=jax.default_backend(),
+    )
+    (out_dir / "rollout_metrics.json").write_text(json.dumps(metrics, indent=2))
+    print(json.dumps(metrics))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,29 @@
+"""Train a TM-Glow model on a case (SURVEY.md §3.1 / L4 entry point).
+
+Usage: python -m tpuflow.cli.train <case> [key=value ...]
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+from tpuflow.cli import parse_args
+from tpuflow.train.trainer import Trainer
+from tpuflow.utils.logging import MetricsLogger
+
+
+def main(argv=None) -> dict:
+    cfg = parse_args(argv)
+    log_path = pathlib.Path(cfg.train.checkpoint_dir) / cfg.name / "train_log.csv"
+    trainer = Trainer(cfg, logger=MetricsLogger(log_path))
+    trainer.init_or_resume()
+    final = trainer.run()
+    print(
+        f"done: epoch={final.get('epoch')} mean_bpd={final.get('mean_bpd'):.4f} "
+        f"windows/s={final.get('windows_per_sec'):.2f}"
+    )
+    return final
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,20 @@
+"""Evaluation layer: autoregressive ensemble rollout, physics
+statistics (TKE, velocity moments), held-out NLL, figures
+(SURVEY.md L5 / §3.2 call stack)."""
+
+from tpuflow.eval.rollout import make_ensemble_rollout, make_nll_eval
+from tpuflow.eval.stats import (
+    tke_field,
+    velocity_moments,
+    relative_l2,
+    ensemble_stats,
+)
+
+__all__ = [
+    "make_ensemble_rollout",
+    "make_nll_eval",
+    "tke_field",
+    "velocity_moments",
+    "relative_l2",
+    "ensemble_stats",
+]

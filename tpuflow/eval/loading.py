@@ -1,0 +1,65 @@
+"""Checkpoint loading for evaluation (SURVEY.md §3.2: load checkpoint →
+rollout). Builds the abstract state image from config alone (eval_shape
+— no data needed) and restores params/buffers/norm; falls back to a
+fresh init when no checkpoint exists (untrained smoke rollouts)."""
+
+from __future__ import annotations
+
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuflow.configs.config import CaseConfig
+from tpuflow.data.dataset import NormStats
+from tpuflow.models.tmglow import TMGlow, init_lstm_state
+from tpuflow.train.checkpoint import Checkpointer
+
+
+def load_eval_bundle(
+    cfg: CaseConfig, step: int | None = None
+) -> tuple[TMGlow, dict, NormStats | None]:
+    """Returns (model, variables, norm_stats_or_None)."""
+    model = TMGlow(cfg.model)
+    b = 1
+    hf = jnp.zeros((b, *cfg.model.hf_shape, cfg.model.channels))
+    lf = jnp.zeros((b, *cfg.model.lf_shape, cfg.model.channels))
+    state = init_lstm_state(cfg.model, (b,))
+
+    ckpt_dir = pathlib.Path(cfg.train.checkpoint_dir) / cfg.name
+    ckpt = Checkpointer(ckpt_dir)
+    if ckpt.latest_step() is None:
+        print(f"no checkpoint under {ckpt_dir}; using fresh init")
+        variables = model.init(jax.random.PRNGKey(cfg.train.seed), hf, lf, state)
+        return model, variables, None
+
+    abstract = jax.eval_shape(
+        lambda h, l, s: model.init(jax.random.PRNGKey(0), h, l, s), hf, lf, state
+    )
+    c = cfg.model.channels
+    vec = jax.ShapeDtypeStruct((c,), np.float32)
+    # The target must mirror the full saved tree (Orbax restores whole
+    # items); the optimizer state is reconstructed abstractly from the
+    # same config and discarded after restore.
+    from tpuflow.train.step import make_optimizer
+
+    opt = make_optimizer(
+        cfg.train.lr, cfg.train.lr_decay, cfg.train.grad_clip,
+        cfg.train.weight_decay,
+    )
+    target = {
+        "params": abstract["params"],
+        "buffers": abstract.get("buffers", {}),
+        "opt_state": jax.eval_shape(opt.init, abstract["params"]),
+        "norm": {k: vec for k in ("lf_mean", "lf_std", "hf_mean", "hf_std")},
+    }
+    restored = ckpt.restore(step, target=target)
+    state_tree = restored["state"]
+    variables = {
+        "params": state_tree["params"],
+        "buffers": state_tree["buffers"],
+    }
+    norm = NormStats.from_dict(state_tree["norm"])
+    print(f"loaded checkpoint step {ckpt.latest_step()} from {ckpt_dir}")
+    return model, variables, norm

@@ -1,0 +1,73 @@
+"""Physics statistics: TKE, velocity moments, field error norms.
+
+Parity: SURVEY.md §2 "Physics statistics" / arXiv:2006.04731 §4
+experiment metrics — turbulent kinetic energy k = 1/2 sum_i var(u_i'),
+velocity-field moments over ensemble/time, and relative error norms of
+predicted mean/variance against the high-fidelity reference.
+
+All functions take either ensemble fields (N, ..., C) or precomputed
+two-moment stats, in PHYSICAL units (denormalize first — see
+TrajectoryDataset.denorm_hf). Channel convention: [..., 0]=u, 1=v,
+2=p.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def tke_field(var_uv: jnp.ndarray) -> jnp.ndarray:
+    """Turbulent kinetic energy from velocity variance.
+
+    Args:
+      var_uv: (..., C>=2) per-point variance of (u, v[, p]) over the
+        fluctuation axis (ensemble and/or time).
+
+    Returns:
+      (...,) k = 1/2 (var_u + var_v).
+    """
+    return 0.5 * (var_uv[..., 0] + var_uv[..., 1])
+
+
+def ensemble_stats(fields: jnp.ndarray, axis: int = 0) -> dict[str, jnp.ndarray]:
+    """Mean/variance over the ensemble axis of sample fields."""
+    return {
+        "mean": jnp.mean(fields, axis=axis),
+        "var": jnp.var(fields, axis=axis),
+    }
+
+
+def velocity_moments(
+    fields: jnp.ndarray, axes: tuple[int, ...] = (0,)
+) -> dict[str, jnp.ndarray]:
+    """First four central moments of each channel over ``axes``
+    (ensemble and/or time) — the reference's velocity-moment curves."""
+    mean = jnp.mean(fields, axis=axes, keepdims=True)
+    d = fields - mean
+    var = jnp.mean(d**2, axis=axes)
+    std = jnp.sqrt(var) + 1e-12
+    skew = jnp.mean(d**3, axis=axes) / std**3
+    kurt = jnp.mean(d**4, axis=axes) / std**4
+    return {
+        "mean": jnp.squeeze(mean, axis=axes),
+        "var": var,
+        "skew": skew,
+        "kurt": kurt,
+    }
+
+
+def relative_l2(pred: jnp.ndarray, ref: jnp.ndarray, axes=None) -> jnp.ndarray:
+    """||pred - ref||_2 / ||ref||_2 over ``axes`` (default: all)."""
+    if axes is None:
+        axes = tuple(range(ref.ndim))
+    num = jnp.sqrt(jnp.sum((pred - ref) ** 2, axis=axes))
+    den = jnp.sqrt(jnp.sum(ref**2, axis=axes)) + 1e-12
+    return num / den
+
+
+def time_averaged_tke(fields_or_var: jnp.ndarray, ensemble_axis: int = 0):
+    """TKE of the time-averaged flow: variance over ensemble at each
+    (t, x) then mean over time. Accepts raw member fields
+    (N, T, H, W, C)."""
+    var = jnp.var(fields_or_var, axis=ensemble_axis)
+    return jnp.mean(tke_field(var), axis=0)

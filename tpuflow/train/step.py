@@ -1,0 +1,110 @@
+"""Windowed-BPTT NLL loss and the jitted train step.
+
+Parity: SURVEY.md §3.1 training hot loop — per window: scan the model
+over time carrying ConvLSTM state, mean bits/dim NLL over the window,
+backprop through the whole window (BPTT), clip, Adam step. Truncation
+semantics: state *values* carry across windows but the next train-step
+call starts a fresh autodiff trace, so no gradient crosses a window
+boundary — exactly the reference's detach-between-windows.
+
+TPU-first: the time loop is ``jax.lax.scan`` (one compiled step body
+reused across the window; no Python-level unrolling), optionally
+wrapped in ``jax.checkpoint`` so BPTT memory is O(window) activations
+of ONE timestep instead of window x L x K layer activations
+(SURVEY.md §7 hard part 3).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpuflow.models.tmglow import TMGlow, LSTMState
+
+
+def window_bpd_fn(
+    model: TMGlow, remat: bool = True
+) -> Callable[..., tuple[jax.Array, LSTMState]]:
+    """Build loss(params, buffers, lf_win, hf_win, state) ->
+    (mean bits/dim over the window, final state).
+
+    lf_win/hf_win are batch-major (B, W, H, W, C); scan runs time-major.
+    """
+
+    def step(params, buffers, state, lf_t, hf_t):
+        bpd, state = model.apply(
+            {"params": params, "buffers": buffers}, hf_t, lf_t, state
+        )
+        return state, bpd
+
+    if remat:
+        # Recompute the per-timestep forward during the backward pass:
+        # memory = one timestep's activations, not the whole window's.
+        step = jax.checkpoint(step, static_argnums=())
+
+    def loss_fn(params, buffers, lf_win, hf_win, state):
+        lf_tm = jnp.moveaxis(lf_win, 1, 0)  # (W, B, h, w, C)
+        hf_tm = jnp.moveaxis(hf_win, 1, 0)
+
+        def body(carry, xt):
+            lf_t, hf_t = xt
+            new_state, bpd = step(params, buffers, carry, lf_t, hf_t)
+            return new_state, jnp.mean(bpd)
+
+        state, bpds = jax.lax.scan(body, state, (lf_tm, hf_tm))
+        return jnp.mean(bpds), state
+
+    return loss_fn
+
+
+def make_train_step(
+    model: TMGlow,
+    optimizer: optax.GradientTransformation,
+    remat: bool = True,
+) -> Callable[..., tuple[Any, Any, LSTMState, dict[str, jax.Array]]]:
+    """Build the jittable train step:
+
+    (params, buffers, opt_state, lf_win, hf_win, state)
+      -> (params, opt_state, state, metrics)
+
+    Under jit with data-sharded windows and replicated params, XLA
+    derives the gradient all-reduce over the mesh data axis — the
+    NCCL-equivalent of the reference's DataParallel (SURVEY.md §5).
+    """
+    loss_fn = window_bpd_fn(model, remat=remat)
+
+    def train_step(params, buffers, opt_state, lf_win, hf_win, state):
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, buffers, lf_win, hf_win, state
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {
+            "bpd": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return params, opt_state, new_state, metrics
+
+    return train_step
+
+
+def make_optimizer(
+    lr: float,
+    lr_decay: float,
+    grad_clip: float,
+    weight_decay: float = 0.0,
+    decay_every: int = 100,
+) -> optax.GradientTransformation:
+    """Adam + exponential lr decay + global-norm clipping (SURVEY.md
+    §2 'Trainer': Adam + decay, grad clip)."""
+    schedule = optax.exponential_decay(
+        init_value=lr, transition_steps=decay_every, decay_rate=lr_decay
+    )
+    tx = [optax.clip_by_global_norm(grad_clip)]
+    if weight_decay > 0:
+        tx.append(optax.add_decayed_weights(weight_decay))
+    tx.append(optax.adam(schedule))
+    return optax.chain(*tx)

@@ -1,0 +1,207 @@
+"""Trainer: epoch loop, truncated-BPTT windows, sharding, checkpointing.
+
+Parity: SURVEY.md §3.1 training call stack (L4) — args → data → model →
+epoch loop over trajectory batches → consecutive BPTT windows with
+carried-and-detached ConvLSTM state → Adam + lr decay + grad clip →
+epoch-tagged checkpoints with deterministic resume.
+
+TPU-first: one jitted train step compiled once (static window/batch
+shapes); trajectory batches sharded over the mesh data axis with
+replicated parameters — XLA emits the gradient all-reduce (SURVEY.md
+§5). ActNorm data-dependent init happens in ``model.init`` on the
+first real batch (functional equivalent of the reference's
+first-forward init, SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuflow.configs.config import CaseConfig
+from tpuflow.data.dataset import TrajectoryDataset, load_dataset
+from tpuflow.models.tmglow import TMGlow, init_lstm_state
+from tpuflow.train.checkpoint import Checkpointer
+from tpuflow.train.mesh import (
+    data_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)
+from tpuflow.train.step import make_optimizer, make_train_step
+from tpuflow.utils.logging import MetricsLogger
+
+
+class Trainer:
+    """End-to-end NLL training for one case config."""
+
+    def __init__(
+        self,
+        cfg: CaseConfig,
+        dataset: TrajectoryDataset | None = None,
+        logger: MetricsLogger | None = None,
+        mesh=None,
+    ):
+        cfg.validate()
+        self.cfg = cfg
+        self.dataset = dataset or load_dataset(cfg.data, cfg.model, "train")
+        self.model = TMGlow(cfg.model)
+        self.mesh = mesh or make_mesh(cfg.train.mesh_data, cfg.train.mesh_ensemble)
+        self.optimizer = make_optimizer(
+            cfg.train.lr, cfg.train.lr_decay, cfg.train.grad_clip,
+            cfg.train.weight_decay,
+        )
+        self.logger = logger or MetricsLogger()
+        self.ckpt = Checkpointer(f"{cfg.train.checkpoint_dir}/{cfg.name}")
+        self._train_step = jax.jit(
+            make_train_step(self.model, self.optimizer, remat=cfg.train.remat),
+            donate_argnums=(0, 2, 5),  # params, opt_state, lstm state
+        )
+        # Populated by init_or_resume().
+        self.params = None
+        self.buffers = None
+        self.opt_state = None
+        self.epoch = 0
+        self.global_step = 0
+
+    # ------------------------------------------------------------- init
+
+    def _abstract_state(self):
+        """Shape-only image of the checkpointed state pytree (via
+        eval_shape: no FLOPs, no device memory) so Orbax can
+        reconstruct custom nodes (optax NamedTuples) on restore."""
+        cfg = self.cfg
+        b = cfg.data.batch_size
+        lf_b, hf_b = next(self.dataset.traj_batches(cfg.data.seed, b))
+        state = init_lstm_state(cfg.model, (b,))
+        variables = jax.eval_shape(
+            lambda h, l, s: self.model.init(jax.random.PRNGKey(0), h, l, s),
+            jnp.asarray(hf_b[:, 0]), jnp.asarray(lf_b[:, 0]), state,
+        )
+        opt_shape = jax.eval_shape(self.optimizer.init, variables["params"])
+        return {
+            "params": variables["params"],
+            "buffers": variables.get("buffers", {}),
+            "opt_state": opt_shape,
+            "norm": jax.eval_shape(lambda: self.dataset.norm.to_dict()),
+        }
+
+    def init_or_resume(self) -> None:
+        restored = None
+        if self.ckpt.latest_step() is not None:
+            restored = self.ckpt.restore(target=self._abstract_state())
+        if restored is not None:
+            state, meta = restored["state"], restored["meta"]
+            self.params = state["params"]
+            self.buffers = state["buffers"]
+            self.opt_state = state["opt_state"]
+            self.epoch = int(meta["epoch"])
+            self.global_step = int(meta["global_step"])
+            print(f"resumed from epoch {self.epoch} (step {self.global_step})")
+        else:
+            self._fresh_init()
+        # Replicate training state across the mesh.
+        rep = replicated_sharding(self.mesh)
+        self.params = jax.device_put(self.params, rep)
+        self.buffers = jax.device_put(self.buffers, rep)
+        self.opt_state = jax.device_put(self.opt_state, rep)
+
+    def _fresh_init(self) -> None:
+        cfg = self.cfg
+        b = cfg.data.batch_size
+        # ActNorm data-dependent init must see a REAL first batch
+        # (SURVEY.md §3.3 ordering constraint).
+        lf_b, hf_b = next(self.dataset.traj_batches(cfg.data.seed, b))
+        state = init_lstm_state(cfg.model, (b,))
+        variables = self.model.init(
+            jax.random.PRNGKey(cfg.train.seed),
+            jnp.asarray(hf_b[:, 0]), jnp.asarray(lf_b[:, 0]), state,
+        )
+        self.params = variables["params"]
+        self.buffers = variables.get("buffers", {})
+        self.opt_state = self.optimizer.init(self.params)
+        n_params = sum(int(p.size) for p in jax.tree.leaves(self.params))
+        print(f"initialized {n_params:,} parameters")
+
+    # ------------------------------------------------------------ train
+
+    def run(self, epochs: int | None = None) -> dict[str, Any]:
+        """Train for ``epochs`` (default: config), return final metrics."""
+        if self.params is None:
+            self.init_or_resume()
+        cfg = self.cfg
+        epochs = cfg.train.epochs if epochs is None else epochs
+        window = cfg.data.window
+        b = cfg.data.batch_size
+        ds = data_sharding(self.mesh)
+        last: dict[str, Any] = {}
+
+        while self.epoch < epochs:
+            epoch_t0 = time.perf_counter()
+            epoch_bpd, n_windows = 0.0, 0
+            for lf_traj, hf_traj in self.dataset.traj_batches(
+                cfg.data.seed + self.epoch, b
+            ):
+                # Fresh recurrent state per trajectory batch; carried
+                # (values only — truncation) across windows within it.
+                state = init_lstm_state(cfg.model, (b,))
+                state = shard_batch(state, self.mesh, ds)
+                for lf_win, hf_win in TrajectoryDataset.windows(
+                    lf_traj, hf_traj, window
+                ):
+                    lf_d = jax.device_put(jnp.asarray(lf_win), ds)
+                    hf_d = jax.device_put(jnp.asarray(hf_win), ds)
+                    (self.params, self.opt_state, state, metrics) = (
+                        self._train_step(
+                            self.params, self.buffers, self.opt_state,
+                            lf_d, hf_d, state,
+                        )
+                    )
+                    self.global_step += 1
+                    epoch_bpd += float(metrics["bpd"])
+                    n_windows += 1
+                    if self.global_step % cfg.train.log_every == 0:
+                        self.logger.log(
+                            self.global_step,
+                            epoch=self.epoch,
+                            bpd=metrics["bpd"],
+                            grad_norm=metrics["grad_norm"],
+                        )
+            epoch_dt = time.perf_counter() - epoch_t0
+            last = {
+                "epoch": self.epoch,
+                "mean_bpd": epoch_bpd / max(n_windows, 1),
+                "windows_per_sec": n_windows / epoch_dt,
+            }
+            self.epoch += 1
+            if (
+                self.epoch % cfg.train.checkpoint_every == 0
+                or self.epoch == epochs
+            ):
+                self.save()
+        return last
+
+    def save(self) -> None:
+        self.ckpt.save(
+            self.epoch,
+            {
+                "params": self.params,
+                "buffers": self.buffers,
+                "opt_state": self.opt_state,
+                "norm": self.dataset.norm.to_dict(),
+            },
+            meta={
+                "epoch": self.epoch,
+                "global_step": self.global_step,
+                "config": dataclasses.asdict(self.cfg),
+            },
+        )
+
+    @property
+    def variables(self) -> dict:
+        return {"params": self.params, "buffers": self.buffers}

@@ -1,0 +1,59 @@
+"""Structured metrics logging.
+
+Parity+: the reference logs via prints and loss-history arrays
+(SURVEY.md §5 "Metrics / logging"); tpuflow upgrades to structured CSV
+rows (one file per run) plus stdout lines, feeding the same quantities
+the reference tracks (NLL bits/dim, grad norm) and the north-star
+throughput counters (steps/sec/chip).
+"""
+
+from __future__ import annotations
+
+import csv
+import pathlib
+import sys
+import time
+from typing import Any
+
+
+class MetricsLogger:
+    """Append-only CSV + stdout metrics stream."""
+
+    def __init__(self, path: str | pathlib.Path | None = None, quiet: bool = False):
+        self._path = pathlib.Path(path) if path else None
+        self._file = None
+        self._writer = None
+        self._fields: list[str] | None = None
+        self._quiet = quiet
+        self._t0 = time.time()
+
+    def log(self, step: int, **metrics: Any) -> None:
+        row = {"step": step, "wall_s": round(time.time() - self._t0, 3)}
+        row.update({k: _scalar(v) for k, v in metrics.items()})
+        if self._path:
+            if self._writer is None:
+                self._path.parent.mkdir(parents=True, exist_ok=True)
+                self._file = open(self._path, "a", newline="")
+                self._fields = list(row)
+                self._writer = csv.DictWriter(self._file, fieldnames=self._fields)
+                if self._file.tell() == 0:
+                    self._writer.writeheader()
+            self._writer.writerow({k: row.get(k, "") for k in self._fields})
+            self._file.flush()
+        if not self._quiet:
+            parts = " ".join(
+                f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in row.items()
+            )
+            print(parts, file=sys.stdout, flush=True)
+
+    def close(self) -> None:
+        if self._file:
+            self._file.close()
+
+
+def _scalar(v: Any):
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return v
