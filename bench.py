@@ -27,21 +27,33 @@ N_SAMPLES = 64
 CPU_STEPS = 8  # steady-state CPU denominator run (steps/sec is rate-based)
 
 
-def _build():
+def _make_rollout(use_pallas: bool):
+    """Rollout closure for the flagship config; params are shared
+    between the pallas and XLA variants (use_pallas only reroutes the
+    coupling apply)."""
     from tpuflow.configs.config import load_case
-    from tpuflow.data import generate_case
     from tpuflow.eval.rollout import make_ensemble_rollout
-    from tpuflow.models import TMGlow, init_lstm_state
+    from tpuflow.models import TMGlow
 
-    on_tpu = jax.default_backend() == "tpu"
     cfg = load_case(
         "backward-step",
         {
-            "model.use_pallas": on_tpu,
+            "model.use_pallas": use_pallas,
             "eval.n_samples": N_SAMPLES,
             "eval.rollout_steps": ROLLOUT_STEPS,
         },
     )
+    model = TMGlow(cfg.model)
+    return cfg, make_ensemble_rollout(
+        model, N_SAMPLES, temperature=0.7, collect="stats"
+    )
+
+
+def _build(use_pallas: bool):
+    from tpuflow.data import generate_case
+    from tpuflow.models import TMGlow, init_lstm_state
+
+    cfg, rollout = _make_rollout(use_pallas)
     model = TMGlow(cfg.model)
     lf, hf = generate_case(
         "backward-step", 1, 2, cfg.model.hf_shape, cfg.model.lf_shape, seed=0
@@ -54,37 +66,57 @@ def _build():
         [generate_case("backward-step", 1, 64, cfg.model.hf_shape,
                        cfg.model.lf_shape, seed=1)[0][0]] * 2
     )[:ROLLOUT_STEPS]
-    rollout = make_ensemble_rollout(
-        model, N_SAMPLES, temperature=0.7, collect="stats"
-    )
     return cfg, variables, rollout, lf_traj_np
 
 
-def _time_rollout(rollout, variables, lf_traj, steps: int) -> float:
+def _materialize(out) -> float:
+    """Force completion with a host transfer — block_until_ready has
+    been observed returning early through this machine's TPU tunnel,
+    but the bytes cannot arrive before the computation finishes."""
+    return float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+
+
+def _time_rollout(rollout, variables, lf_traj, steps: int, repeats: int = 3) -> float:
+    """Median steady-state steps/sec over ``repeats`` timed runs."""
     fn = jax.jit(rollout)
     lf = jnp.asarray(lf_traj[:steps])
-    out = fn(variables, lf, jax.random.PRNGKey(0))
-    jax.block_until_ready(out)  # compile + warm
-    t0 = time.perf_counter()
-    out = fn(variables, lf, jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return steps / dt
+    _materialize(fn(variables, lf, jax.random.PRNGKey(0)))  # compile + warm
+    rates = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        _materialize(fn(variables, lf, jax.random.PRNGKey(1 + i)))
+        rates.append(steps / (time.perf_counter() - t0))
+    _log(f"rates: {[round(r, 2) for r in rates]}")
+    return sorted(rates)[len(rates) // 2]
+
+
+def _log(msg: str) -> None:
+    if "--quiet" not in sys.argv:
+        print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
 def main() -> None:
-    cfg, variables, rollout, lf_traj = _build()
+    on_tpu = jax.default_backend() == "tpu"
+    _log("building model (init)...")
+    cfg, variables, rollout, lf_traj = _build(use_pallas=on_tpu)
+    _log("timing device rollout (compile + timed runs)...")
 
     value = _time_rollout(rollout, variables, lf_traj, ROLLOUT_STEPS)
+    _log(f"device rate: {value:.2f} steps/s; timing CPU denominator...")
 
-    # CPU denominator: identical model/ensemble on the host CPU.
-    if jax.default_backend() == "cpu":
+    # CPU denominator: identical model/ensemble on the host CPU (XLA
+    # coupling path — Pallas kernels don't lower to the CPU backend).
+    if not on_tpu:
         cpu_rate = value
     else:
+        _, rollout_xla = _make_rollout(use_pallas=False)
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             variables_cpu = jax.device_put(variables, cpu)
-            cpu_rate = _time_rollout(rollout, variables_cpu, lf_traj, CPU_STEPS)
+            cpu_rate = _time_rollout(
+                rollout_xla, variables_cpu, lf_traj, CPU_STEPS, repeats=1
+            )
+        _log(f"cpu rate: {cpu_rate:.3f} steps/s")
 
     print(
         json.dumps(

@@ -54,9 +54,12 @@ def main(argv=None) -> dict:
     out = rollout(variables, jnp.asarray(lf_traj), jax.random.PRNGKey(0))
     jax.block_until_ready(out)
     metrics: dict = {}
-    with step_timer(metrics, "rollout_steps_per_sec", n_items=T) as sync:
-        out = rollout(variables, jnp.asarray(lf_traj), jax.random.PRNGKey(1))
-        sync.append(out)
+    from tpuflow.utils.profiling import trace_context
+
+    with trace_context(cfg.eval.trace_dir or None):
+        with step_timer(metrics, "rollout_steps_per_sec", n_items=T) as sync:
+            out = rollout(variables, jnp.asarray(lf_traj), jax.random.PRNGKey(1))
+            sync.append(out)
 
     out_dir = pathlib.Path(cfg.eval.output_dir) / cfg.name
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -97,6 +97,12 @@ class TrainConfig:
     # Mesh axis sizes; -1 on data means "all remaining devices".
     mesh_data: int = -1
     mesh_ensemble: int = 1
+    # Abort with a traceback on the first NaN anywhere in the step
+    # (jax_debug_nans — the TPU-native sanitizer, SURVEY.md §5).
+    debug_nans: bool = False
+    # jax.profiler trace directory ("" = off); view in TensorBoard or
+    # ui.perfetto.dev (SURVEY.md §5 tracing row).
+    trace_dir: str = ""
 
 
 @dataclass(frozen=True)
@@ -105,6 +111,8 @@ class EvalConfig:
     rollout_steps: int = 100      # autoregressive horizon (config #1)
     temperature: float = 0.7      # sampling temperature tau (paper §4)
     output_dir: str = "./eval_out"
+    # jax.profiler trace directory for the rollout ("" = off).
+    trace_dir: str = ""
 
 
 @dataclass(frozen=True)

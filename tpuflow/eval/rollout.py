@@ -8,10 +8,20 @@ north-star metric path (rollout steps/sec/chip, BASELINE.json).
 
 TPU-first: the time loop is ONE ``jax.lax.scan`` (O(1) memory carry =
 per-member ConvLSTM states + PRNG key, SURVEY.md §5 long-context); the
-ensemble axis is a ``jax.vmap`` over states/rngs with the LF frame
-broadcast — XLA batches all members into single large convs on the MXU.
-On a mesh, sharding the ensemble axis spreads members across chips with
-zero communication (SURVEY.md §2 'Ensemble parallelism').
+ensemble is a plain leading batch axis of the member-dependent compute
+(ConvLSTM + Glow reverse) so all members ride single large MXU convs —
+one PRNG key per step draws iid latents for the whole ensemble (batched
+normal draws are independent across the batch axis, exactly equivalent
+to per-member keys). On a mesh, sharding the ensemble axis spreads
+members across chips with zero communication (SURVEY.md §2 'Ensemble
+parallelism').
+
+Three scan-invariant hoists keep the hot loop lean:
+  * the LF encoder runs ONCE for the whole trajectory (T as batch)
+    before the scan — it is member-independent;
+  * every inv-1x1 W^{-1} is precomputed (build_inv_caches), removing
+    2*L*K serializing triangular solves per step;
+  * parameters are closed over, so XLA keeps them resident.
 
 Memory note: ``collect="fields"`` stores all (T, N, H, W, C) samples —
 fine for small configs; ``collect="stats"`` accumulates ensemble
@@ -47,36 +57,28 @@ def make_ensemble_rollout(
     """
     cfg = model.cfg
 
-    def sample_one(variables, lf_t, state, rng):
-        return model.apply(
-            variables, lf_t, state, rng, temperature,
-            method=TMGlow.sample_step,
-        )
-
-    # Ensemble axis: map over (state, rng); broadcast (variables, lf_t).
-    sample_members = jax.vmap(sample_one, in_axes=(None, None, 0, 0))
-
     def rollout(variables, lf_traj, rng):
-        # Per-member batch axis of size 1 inside vmap => leading dims (N, 1).
-        states = init_lstm_state(cfg, (n_samples, 1))
+        from tpuflow.models.tmglow import build_inv_caches
 
-        def step(carry, lf_t):
+        states = init_lstm_state(cfg, (n_samples,))
+        # Scan-invariant precomputation (see module docstring).
+        inv_caches = build_inv_caches(cfg, variables)
+        feats_traj = model.apply(variables, lf_traj, method=TMGlow.encode_lf)
+
+        def step(carry, feats_t):
             states, key = carry
             key, sub = jax.random.split(key)
-            member_keys = jax.random.split(sub, n_samples)
-            x, states = sample_members(
-                variables, lf_t[None], states, member_keys
-            )  # x: (N, 1, H, W, C)
-            x = x[:, 0]
+            x, states = model.apply(
+                variables, feats_t, states, sub, temperature, inv_caches,
+                method=TMGlow.sample_from_feats,
+            )  # x: (N, H, W, C)
             if collect == "fields":
                 out = x
             else:
-                mean = jnp.mean(x, axis=0)
-                var = jnp.var(x, axis=0)
-                out = (mean, var)
+                out = (jnp.mean(x, axis=0), jnp.var(x, axis=0))
             return (states, key), out
 
-        (_, _), ys = jax.lax.scan(step, (states, rng), lf_traj)
+        (_, _), ys = jax.lax.scan(step, (states, rng), feats_traj)
         if collect == "fields":
             return ys  # (T, N, H, W, C)
         mean, var = ys

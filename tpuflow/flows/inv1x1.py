@@ -30,12 +30,38 @@ def _lu_init(rng: jax.Array, c: int):
     return p, l, u, s
 
 
+def compute_w_inv(
+    l_free: jax.Array,
+    u_free: jax.Array,
+    log_s: jax.Array,
+    p: jax.Array,
+    sign_s: jax.Array,
+) -> jax.Array:
+    """W^{-1} from the LU factors (pure; used to hoist the triangular
+    solves out of autoregressive scan loops — they are loop-invariant
+    w.r.t. time, and per-step solves serialize badly on TPU)."""
+    c = log_s.shape[0]
+    eye = jnp.eye(c, dtype=jnp.float32)
+    l_mat = jnp.tril(l_free, -1) + eye
+    u_mat = jnp.triu(u_free, 1) + jnp.diag(sign_s * jnp.exp(log_s))
+    with jax.default_matmul_precision("highest"):
+        l_inv = jax.scipy.linalg.solve_triangular(
+            l_mat, eye, lower=True, unit_diagonal=True
+        )
+        u_inv = jax.scipy.linalg.solve_triangular(u_mat, eye, lower=False)
+        return u_inv @ (l_inv @ p.T)
+
+
 class InvConv1x1LU(nn.Module):
     """y[b,h,w,:] = x[b,h,w,:] @ W with W = P @ L @ (U + diag(sign*exp(log_s)))."""
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, *, reverse: bool = False
+        self,
+        x: jax.Array,
+        *,
+        reverse: bool = False,
+        w_inv: jax.Array | None = None,
     ) -> tuple[jax.Array, jax.Array]:
         c = x.shape[-1]
 
@@ -97,14 +123,14 @@ class InvConv1x1LU(nn.Module):
             if reverse:
                 # x = y @ W^{-1}; W^{-1} = U^{-1} L^{-1} P^{-1} via two
                 # triangular solves of the identity (C is small, O(C^3)
-                # is negligible next to the field matmul).
-                l_inv = jax.scipy.linalg.solve_triangular(
-                    l_mat, eye, lower=True, unit_diagonal=True
-                )
-                u_inv = jax.scipy.linalg.solve_triangular(
-                    u_mat, eye, lower=False
-                )
-                w_inv = u_inv @ (l_inv @ p_buf.value.T)
+                # is negligible next to the field matmul). A precomputed
+                # w_inv (see compute_w_inv / TMGlow.build_inv_caches)
+                # skips the solves — used inside rollout scans where
+                # they are loop-invariant.
+                if w_inv is None:
+                    w_inv = compute_w_inv(
+                        l_free, u_free, log_s, p_buf.value, sign_buf.value
+                    )
                 y = jnp.einsum("...c,cd->...d", x32, w_inv, precision=hp)
                 return y, -logdet
 

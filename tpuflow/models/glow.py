@@ -53,11 +53,16 @@ class GlowStep(nn.Module):
         )
 
     def __call__(
-        self, x: jax.Array, cond: jax.Array | None, *, reverse: bool = False
+        self,
+        x: jax.Array,
+        cond: jax.Array | None,
+        *,
+        reverse: bool = False,
+        w_inv: jax.Array | None = None,
     ) -> tuple[jax.Array, jax.Array]:
         if reverse:
             x, ld2 = self.coupling(x, cond, reverse=True)
-            x, ld1 = self.invconv(x, reverse=True)
+            x, ld1 = self.invconv(x, reverse=True, w_inv=w_inv)
             x, ld0 = self.actnorm(x, reverse=True)
         else:
             x, ld0 = self.actnorm(x)
@@ -143,6 +148,7 @@ class MultiScaleGlow(nn.Module):
         latents: list[jax.Array] | None = None,
         rng: jax.Array | None = None,
         temperature: float | jax.Array = 1.0,
+        inv_caches: list[list[jax.Array]] | None = None,
     ) -> tuple[jax.Array, jax.Array]:
         L = self.n_scales
         if latents is None and rng is None:
@@ -174,8 +180,9 @@ class MultiScaleGlow(nn.Module):
                         rng=rngs[l], temperature=temperature,
                     )
                 logp = logp - neg_lp
-            for step in self.steps[l][::-1]:
-                h, _ = step(h, conds[l], reverse=True)
+            for k in range(self.n_steps - 1, -1, -1):
+                w_inv = inv_caches[l][k] if inv_caches is not None else None
+                h, _ = self.steps[l][k](h, conds[l], reverse=True, w_inv=w_inv)
             h = unsqueeze2d(h)
         return h, logp
 

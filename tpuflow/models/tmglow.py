@@ -43,6 +43,32 @@ def scale_shapes(cfg: ModelConfig) -> list[tuple[int, int]]:
     return [(h >> (l + 1), w >> (l + 1)) for l in range(cfg.n_scales)]
 
 
+def build_inv_caches(
+    cfg: ModelConfig, variables: dict
+) -> list[list[jax.Array]]:
+    """Precompute every invertible-1x1 W^{-1} from the parameter pytree
+    (pure; independent of time). Passing the result into
+    ``sample_from_feats`` hoists 2*L*K triangular solves per timestep
+    out of autoregressive scans — they serialize on the TPU VPU and are
+    loop-invariant."""
+    from tpuflow.flows.inv1x1 import compute_w_inv
+
+    params = variables["params"]["glow"]
+    buffers = variables["buffers"]["glow"]
+    caches: list[list[jax.Array]] = []
+    for l in range(cfg.n_scales):
+        row = []
+        for k in range(cfg.n_flow_steps):
+            name = f"scale{l}_step{k}"
+            p = params[name]["invconv"]
+            b = buffers[name]["invconv"]
+            row.append(
+                compute_w_inv(p["l"], p["u"], p["log_s"], b["p"], b["sign_s"])
+            )
+        caches.append(row)
+    return caches
+
+
 def init_lstm_state(cfg: ModelConfig, batch_shape: tuple[int, ...]) -> LSTMState:
     """Zero ConvLSTM state pytree for a batch (pure function of config,
     no parameters — matches the reference's state init, SURVEY.md §3.1)."""
@@ -137,6 +163,49 @@ class TMGlow(nn.Module):
         conds, state = self._condition(lf_t, state)
         x, _ = self.glow.reverse(conds, rng=rng, temperature=temperature)
         return x, state
+
+    def encode_lf(self, lf: jax.Array) -> list[jax.Array]:
+        """LF frame(s) -> encoder feature pyramid. Batch-generic: pass
+        a whole (T, h, w, C) trajectory to encode every step in one
+        batched conv pass (rollout fast path — the encoder is
+        member-independent, so computing it under the ensemble batch
+        would be n_samples-fold redundant)."""
+        return self.encoder(lf)
+
+    def sample_from_feats(
+        self,
+        feats: list[jax.Array],
+        state: LSTMState,
+        rng: jax.Array,
+        temperature: float | jax.Array = 1.0,
+        inv_caches: list[list[jax.Array]] | None = None,
+    ) -> tuple[jax.Array, LSTMState]:
+        """Ensemble-batched sample step from precomputed encoder
+        features (the rollout hot loop body).
+
+        feats are unbatched (h_l, w_l, F) or batch-1; state carries the
+        member axis N. One rng draws iid latents for all members at
+        once (equivalent to per-member keys: batched normal draws are
+        independent across the batch axis). inv_caches (see
+        build_inv_caches) skips the per-step LU triangular solves.
+        """
+        n = state[0][0].shape[0]
+        conds, new_state = [], []
+        for l in range(self.cfg.n_scales):
+            f = feats[l]
+            if f.ndim == 3:
+                f = f[None]
+            f = jnp.broadcast_to(f, (n, *f.shape[1:]))
+            h, s = self.cells[l](f, state[l])
+            cond = self.cond_projs[l](
+                jnp.concatenate([f, h.astype(f.dtype)], axis=-1)
+            )
+            conds.append(cond)
+            new_state.append(s)
+        x, _ = self.glow.reverse(
+            conds, rng=rng, temperature=temperature, inv_caches=inv_caches
+        )
+        return x, tuple(new_state)
 
     def encode_step(
         self, hf_t: jax.Array, lf_t: jax.Array, state: LSTMState

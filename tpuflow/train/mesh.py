@@ -68,3 +68,20 @@ def shard_batch(tree, mesh: Mesh, sharding: NamedSharding | None = None):
     """Place a host array pytree onto the mesh, batch axis sharded."""
     s = sharding or data_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def initialize_multihost(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host (DCN) entry: jax.distributed.initialize, after which
+    jax.devices() spans all hosts and the SAME mesh/sharding code runs
+    unchanged — the stretch config of BASELINE.json (#5) / SURVEY.md §5
+    ('no code change above the mesh definition'). Arguments default to
+    cluster-environment auto-detection."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

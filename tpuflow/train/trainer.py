@@ -49,6 +49,8 @@ class Trainer:
     ):
         cfg.validate()
         self.cfg = cfg
+        if cfg.train.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         self.dataset = dataset or load_dataset(cfg.data, cfg.model, "train")
         self.model = TMGlow(cfg.model)
         self.mesh = mesh or make_mesh(cfg.train.mesh_data, cfg.train.mesh_ensemble)
@@ -136,11 +138,18 @@ class Trainer:
             self.init_or_resume()
         cfg = self.cfg
         epochs = cfg.train.epochs if epochs is None else epochs
+
+        from tpuflow.utils.profiling import trace_context
+
+        with trace_context(cfg.train.trace_dir or None):
+            return self._epoch_loop(epochs)
+
+    def _epoch_loop(self, epochs: int) -> dict[str, Any]:
+        cfg = self.cfg
         window = cfg.data.window
         b = cfg.data.batch_size
         ds = data_sharding(self.mesh)
         last: dict[str, Any] = {}
-
         while self.epoch < epochs:
             epoch_t0 = time.perf_counter()
             epoch_bpd, n_windows = 0.0, 0
