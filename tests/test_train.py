@@ -13,7 +13,7 @@ from tpuflow.data import generate_case, TrajectoryDataset
 from tpuflow.models import TMGlow, init_lstm_state
 from tpuflow.train import Trainer, make_mesh, make_train_step, window_bpd_fn
 from tpuflow.train.mesh import data_sharding, shard_batch
-from tpuflow.train.step import make_optimizer
+from tpuflow.train.step import make_optimizer, make_trajectory_train_step
 from tpuflow.utils.logging import MetricsLogger
 
 MC = ModelConfig(
@@ -96,6 +96,40 @@ def test_train_step_sharded_8dev_matches_single(tmp_path):
 
     np.testing.assert_allclose(float(m1["bpd"]), float(m8["bpd"]), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
+
+
+def test_fused_windows_matches_per_window():
+    """The trajectory-scan train step reproduces the per-window update
+    sequence exactly (same truncation + Adam ordering)."""
+    model = TMGlow(MC)
+    opt = make_optimizer(1e-3, 1.0, 10.0)
+    window, t = 2, 6
+    lf, hf = generate_case("backward-step", 4, t, MC.hf_shape, MC.lf_shape, 2)
+    lf, hf = jnp.asarray(lf), jnp.asarray(hf)
+    state = init_lstm_state(MC, (4,))
+    variables = model.init(jax.random.PRNGKey(0), hf[:, 0], lf[:, 0], state)
+    params, buffers = variables["params"], variables["buffers"]
+    opt_state = opt.init(params)
+
+    # Per-window reference.
+    step = jax.jit(make_train_step(model, opt, remat=False))
+    p_ref, o_ref, s = params, opt_state, state
+    losses_ref = []
+    for w0 in range(0, t, window):
+        p_ref, o_ref, s, m = step(
+            p_ref, buffers, o_ref,
+            lf[:, w0 : w0 + window], hf[:, w0 : w0 + window], s,
+        )
+        losses_ref.append(float(m["bpd"]))
+
+    # Fused trajectory scan.
+    traj_step = jax.jit(make_trajectory_train_step(model, opt, window, remat=False))
+    p_fused, o_fused, m = traj_step(params, buffers, opt_state, lf, hf)
+    np.testing.assert_allclose(
+        np.asarray(m["bpd_per_window"]), losses_ref, rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(p_fused), jax.tree.leaves(p_ref)):
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
 
 

@@ -90,6 +90,10 @@ class TrainConfig:
     # Rematerialize per-timestep activations inside the BPTT window to
     # bound HBM (SURVEY.md §7 hard part 3).
     remat: bool = True
+    # Scan all BPTT windows of a trajectory batch inside one jit (one
+    # dispatch per batch instead of per window — identical update
+    # sequence, higher throughput). Disable for per-window logging.
+    fused_windows: bool = True
     checkpoint_dir: str = "./checkpoints"
     checkpoint_every: int = 10
     log_every: int = 10

@@ -91,6 +91,75 @@ def make_train_step(
     return train_step
 
 
+def make_trajectory_train_step(
+    model: TMGlow,
+    optimizer: optax.GradientTransformation,
+    window: int,
+    remat: bool = True,
+) -> Callable[..., tuple[Any, Any, dict[str, jax.Array]]]:
+    """Whole-trajectory train step: an outer ``lax.scan`` over BPTT
+    windows INSIDE one jit (one device dispatch per trajectory batch
+    instead of one per window — the train-throughput fast path).
+
+    (params, buffers, opt_state, lf_traj, hf_traj)
+      -> (params, opt_state, {mean metrics, per-window bpd})
+
+    Semantics are identical to calling the per-window step
+    sequentially: the ConvLSTM state value carries between windows but
+    ``value_and_grad`` is taken per window, so no gradient crosses a
+    window boundary (exact truncated BPTT), and the optimizer update
+    order is preserved. lf/hf are (B, T, ...) with T = n_windows *
+    window; the trailing partial window is dropped by the caller
+    (static shapes).
+    """
+    loss_fn = window_bpd_fn(model, remat=remat)
+
+    def trajectory_step(params, buffers, opt_state, lf_traj, hf_traj):
+        b, t = lf_traj.shape[:2]
+        n_win = t // window
+        # (B, T, ...) -> (n_win, B, window, ...)
+        def to_windows(x):
+            x = x[:, : n_win * window]
+            x = x.reshape(b, n_win, window, *x.shape[2:])
+            return jnp.moveaxis(x, 1, 0)
+
+        lf_w, hf_w = to_windows(lf_traj), to_windows(hf_traj)
+        state0 = _zero_state(model.cfg, (b,))
+
+        def window_body(carry, xs):
+            params, opt_state, state = carry
+            lf_win, hf_win = xs
+            (loss, new_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, buffers, lf_win, hf_win, state)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            # Truncation: the state VALUE carries, its gradient does not
+            # (value_and_grad already stops at the window boundary).
+            return (params, opt_state, new_state), (
+                loss, optax.global_norm(grads)
+            )
+
+        (params, opt_state, _), (losses, gnorms) = jax.lax.scan(
+            window_body, (params, opt_state, state0), (lf_w, hf_w)
+        )
+        metrics = {
+            "bpd": jnp.mean(losses),
+            "bpd_per_window": losses,
+            "grad_norm": jnp.mean(gnorms),
+            "n_windows": n_win,
+        }
+        return params, opt_state, metrics
+
+    return trajectory_step
+
+
+def _zero_state(cfg, batch_shape):
+    from tpuflow.models.tmglow import init_lstm_state
+
+    return init_lstm_state(cfg, batch_shape)
+
+
 def make_optimizer(
     lr: float,
     lr_decay: float,

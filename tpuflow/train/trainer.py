@@ -33,7 +33,11 @@ from tpuflow.train.mesh import (
     replicated_sharding,
     shard_batch,
 )
-from tpuflow.train.step import make_optimizer, make_train_step
+from tpuflow.train.step import (
+    make_optimizer,
+    make_train_step,
+    make_trajectory_train_step,
+)
 from tpuflow.utils.logging import MetricsLogger
 
 
@@ -63,6 +67,13 @@ class Trainer:
         self._train_step = jax.jit(
             make_train_step(self.model, self.optimizer, remat=cfg.train.remat),
             donate_argnums=(0, 2, 5),  # params, opt_state, lstm state
+        )
+        self._traj_step = jax.jit(
+            make_trajectory_train_step(
+                self.model, self.optimizer, cfg.data.window,
+                remat=cfg.train.remat,
+            ),
+            donate_argnums=(0, 2),  # params, opt_state
         )
         # Populated by init_or_resume().
         self.params = None
@@ -156,8 +167,30 @@ class Trainer:
             for lf_traj, hf_traj in self.dataset.traj_batches(
                 cfg.data.seed + self.epoch, b
             ):
-                # Fresh recurrent state per trajectory batch; carried
-                # (values only — truncation) across windows within it.
+                if cfg.train.fused_windows:
+                    n_win = lf_traj.shape[1] // window
+                    lf_d = jax.device_put(jnp.asarray(lf_traj), ds)
+                    hf_d = jax.device_put(jnp.asarray(hf_traj), ds)
+                    (self.params, self.opt_state, metrics) = self._traj_step(
+                        self.params, self.buffers, self.opt_state, lf_d, hf_d
+                    )
+                    self.global_step += n_win
+                    epoch_bpd += float(metrics["bpd"]) * n_win
+                    n_windows += n_win
+                    if (
+                        self.global_step // cfg.train.log_every
+                        != (self.global_step - n_win) // cfg.train.log_every
+                    ):
+                        self.logger.log(
+                            self.global_step,
+                            epoch=self.epoch,
+                            bpd=metrics["bpd"],
+                            grad_norm=metrics["grad_norm"],
+                        )
+                    continue
+                # Per-window path: fresh recurrent state per trajectory
+                # batch; carried (values only — truncation) across
+                # windows within it.
                 state = init_lstm_state(cfg.model, (b,))
                 state = shard_batch(state, self.mesh, ds)
                 for lf_win, hf_win in TrajectoryDataset.windows(
