@@ -98,7 +98,9 @@ def _log(msg: str) -> None:
 def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     _log("building model (init)...")
-    cfg, variables, rollout, lf_traj = _build(use_pallas=on_tpu)
+    # XLA coupling path on both sides — measured faster than the Pallas
+    # custom call for this workload (see ModelConfig.use_pallas).
+    cfg, variables, rollout, lf_traj = _build(use_pallas=False)
     _log("timing device rollout (compile + timed runs)...")
 
     value = _time_rollout(rollout, variables, lf_traj, ROLLOUT_STEPS)

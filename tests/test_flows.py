@@ -116,12 +116,14 @@ def test_coupling_roundtrip_logdet(with_cond):
     m = AffineCoupling(width=8, layers=2, growth_rate=4, dtype=jnp.float32)
     variables = m.init(jax.random.PRNGKey(10), x, cond)
 
-    # Perturb the zero-init output conv so the transform is nontrivial.
+    # Perturb the zero-init output convs so the transform is nontrivial.
     params = jax.tree.map(lambda a: a, variables["params"])
-    kern = params["net"]["conv_out"]["kernel"]
-    params["net"]["conv_out"]["kernel"] = (
-        kern + 0.05 * jax.random.normal(jax.random.PRNGKey(11), kern.shape)
-    )
+    for name in list(params["net"]):
+        if name.startswith("conv_out"):
+            kern = params["net"][name]["kernel"]
+            params["net"][name]["kernel"] = kern + 0.05 * jax.random.normal(
+                jax.random.PRNGKey(11), kern.shape
+            )
     variables = {"params": params}
 
     z, ld = _check_roundtrip(m, variables, x, cond)

@@ -72,8 +72,8 @@ def _perturb_couplings(params, key):
     leaves = []
     keys = jax.random.split(key, len(flat))
     for k, (path, leaf) in zip(keys, flat):
-        names = [getattr(p, "key", "") for p in path]
-        if "conv_out" in names or "prior_conv" in names:
+        names = [str(getattr(p, "key", "")) for p in path]
+        if any(n.startswith("conv_out") or n == "prior_conv" for n in names):
             if names[-1] == "kernel":
                 leaf = leaf + 0.05 * jax.random.normal(k, leaf.shape)
         leaves.append(leaf)

@@ -37,8 +37,22 @@ from tpuflow.kernels import coupling_apply
 
 
 class DenseBlockNet(nn.Module):
-    """DenseNet-style conv stack: in -> width, then ``layers`` growing
-    concats, then a zero-init 3x3 conv to ``out_channels``."""
+    """DenseNet-style conv stack in concat-free form.
+
+    A conv over ``concat(parts)`` equals the sum of per-part convs with
+    the kernel split along input channels, so every DenseNet concat is
+    replaced by summed per-source convs over the running feature list
+    — the identical function class with per-source weights. Measured
+    motivation (TPU v5e device-time profile): the concat form spent
+    ~30% of rollout device time on XLA layout-conversion copies of the
+    concatenated bf16 activations; the sum form materializes none of
+    them. Exactly one bias per output (the first source's conv).
+
+    Structure: sources (x [, cond]) -> width, then ``layers`` growth
+    convs each reading ALL previous features, then a zero-init
+    ``out_channels`` conv reading all features (zero-init keeps each
+    coupling at identity at init — Glow training stability).
+    """
 
     width: int = 64
     layers: int = 3
@@ -47,27 +61,31 @@ class DenseBlockNet(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, cond: jax.Array | None = None) -> jax.Array:
         hp = jax.lax.Precision.HIGHEST
-        x = x.astype(self.dtype)
-        h = nn.Conv(
-            self.width, (3, 3), padding="SAME", dtype=self.dtype,
-            param_dtype=jnp.float32, precision=hp, name="conv_in",
-        )(x)
-        h = nn.relu(h)
+
+        def summed_conv(parts, features, name, zero_init=False):
+            kinit = nn.initializers.zeros if zero_init else None
+            out = None
+            for j, p in enumerate(parts):
+                kw = {"kernel_init": kinit} if kinit is not None else {}
+                y = nn.Conv(
+                    features, (3, 3), padding="SAME", dtype=self.dtype,
+                    param_dtype=jnp.float32, precision=hp,
+                    use_bias=(j == 0), bias_init=nn.initializers.zeros,
+                    name=f"{name}_{j}", **kw,
+                )(p.astype(self.dtype))
+                # Broadcasting add: batch-1 conditioning sources stay
+                # batch-1 through their conv (cost / ensemble_size).
+                out = y if out is None else out + y
+            return out
+
+        sources = [x] if cond is None else [x, cond]
+        feats = [nn.relu(summed_conv(sources, self.width, "conv_in"))]
         for i in range(self.layers):
-            g = nn.Conv(
-                self.growth_rate, (3, 3), padding="SAME", dtype=self.dtype,
-                param_dtype=jnp.float32, precision=hp, name=f"dense_{i}",
-            )(h)
-            g = nn.relu(g)
-            h = jnp.concatenate([h, g], axis=-1)
-        out = nn.Conv(
-            self.out_channels, (3, 3), padding="SAME", dtype=self.dtype,
-            param_dtype=jnp.float32, precision=hp, name="conv_out",
-            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
-        )(h)
-        return out
+            g = summed_conv(feats, self.growth_rate, f"dense_{i}")
+            feats.append(nn.relu(g))
+        return summed_conv(feats, self.out_channels, "conv_out", zero_init=True)
 
 
 class AffineCoupling(nn.Module):
@@ -91,9 +109,6 @@ class AffineCoupling(nn.Module):
         ca = c // 2
         xa, xb = x[..., :ca], x[..., ca:]
 
-        net_in = xb if cond is None else jnp.concatenate(
-            [xb, cond.astype(xb.dtype)], axis=-1
-        )
         st = DenseBlockNet(
             width=self.width,
             layers=self.layers,
@@ -101,7 +116,7 @@ class AffineCoupling(nn.Module):
             out_channels=2 * ca,
             dtype=self.dtype,
             name="net",
-        )(net_in)
+        )(xb, cond)
         raw, t = st[..., :ca], st[..., ca:]
 
         ya, logdet = coupling_apply(

@@ -24,7 +24,14 @@ State = tuple[jax.Array, jax.Array]  # (h, c), float32
 
 
 class ConvLSTMCell(nn.Module):
-    """Single-step ConvLSTM: gates from one conv over [x, h]."""
+    """Single-step ConvLSTM with split input/hidden gate convs:
+    gates = W_x * x + W_h * h (the classic two-kernel formulation).
+
+    The split (vs one conv over concat([x, h])) lets a broadcast-shared
+    input x stay batch-1 through its conv while h carries the ensemble
+    axis — the W_x work is paid once, not per member — and avoids
+    materializing the concatenated activation (measured ~30% of rollout
+    device time was XLA layout copies of such tensors)."""
 
     hidden: int
     kernel: tuple[int, int] = (3, 3)
@@ -34,13 +41,15 @@ class ConvLSTMCell(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, state: State) -> tuple[jax.Array, State]:
         h, c = state
-        inp = jnp.concatenate(
-            [x.astype(self.dtype), h.astype(self.dtype)], axis=-1
-        )
+        hp = jax.lax.Precision.HIGHEST
         gates = nn.Conv(
             4 * self.hidden, self.kernel, padding="SAME", dtype=self.dtype,
-            param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST, name="gates",
-        )(inp)
+            param_dtype=jnp.float32, precision=hp, name="gates_x",
+        )(x.astype(self.dtype)) + nn.Conv(
+            4 * self.hidden, self.kernel, padding="SAME", dtype=self.dtype,
+            param_dtype=jnp.float32, precision=hp, use_bias=False,
+            name="gates_h",
+        )(h.astype(self.dtype))
         gates = gates.astype(jnp.float32)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c_new = (

@@ -85,8 +85,8 @@ class TMGlow(nn.Module):
     """Single-timestep TM-Glow. All methods are pure given variables.
 
     Conditioning path (shared by every method): LF frame → encoder
-    pyramid → per-scale ConvLSTM update → 1×1 conv projection to
-    ``cond_channels`` of concat([enc_feat, lstm_h]).
+    pyramid → per-scale ConvLSTM update → summed 1×1 projections of
+    (enc_feat, lstm_h) to ``cond_channels``.
     """
 
     cfg: ModelConfig
@@ -103,10 +103,21 @@ class TMGlow(nn.Module):
             ConvLSTMCell(hidden=cfg.lstm_hidden, dtype=dtype, name=f"lstm{l}")
             for l in range(cfg.n_scales)
         ]
-        self.cond_projs = [
+        # Split conditioning projection (sum of 1x1 convs instead of a
+        # conv over concat): the encoder-feature side can stay batch-1
+        # under ensemble batching, and no concat is materialized.
+        hp = jax.lax.Precision.HIGHEST
+        self.cond_proj_f = [
             nn.Conv(
                 cfg.cond_channels, (1, 1), dtype=dtype,
-                param_dtype=jnp.float32, precision=jax.lax.Precision.HIGHEST, name=f"cond_proj{l}",
+                param_dtype=jnp.float32, precision=hp, name=f"cond_projf{l}",
+            )
+            for l in range(cfg.n_scales)
+        ]
+        self.cond_proj_h = [
+            nn.Conv(
+                cfg.cond_channels, (1, 1), dtype=dtype, use_bias=False,
+                param_dtype=jnp.float32, precision=hp, name=f"cond_projh{l}",
             )
             for l in range(cfg.n_scales)
         ]
@@ -128,9 +139,10 @@ class TMGlow(nn.Module):
         feats = self.encoder(lf_t)
         conds, new_state = [], []
         for l in range(self.cfg.n_scales):
-            h, s = self.cells[l](feats[l], state[l])
-            cond = self.cond_projs[l](
-                jnp.concatenate([feats[l], h.astype(feats[l].dtype)], axis=-1)
+            f = feats[l]
+            h, s = self.cells[l](f, state[l])
+            cond = self.cond_proj_f[l](f) + self.cond_proj_h[l](
+                h.astype(f.dtype)
             )
             conds.append(cond)
             new_state.append(s)
@@ -189,16 +201,17 @@ class TMGlow(nn.Module):
         independent across the batch axis). inv_caches (see
         build_inv_caches) skips the per-step LU triangular solves.
         """
-        n = state[0][0].shape[0]
         conds, new_state = [], []
         for l in range(self.cfg.n_scales):
             f = feats[l]
             if f.ndim == 3:
                 f = f[None]
-            f = jnp.broadcast_to(f, (n, *f.shape[1:]))
+            # f stays batch-1: its convs (LSTM gates_x, cond_proj_f)
+            # broadcast against the member-batched hidden-state side,
+            # so the shared-input work is paid once, not per member.
             h, s = self.cells[l](f, state[l])
-            cond = self.cond_projs[l](
-                jnp.concatenate([f, h.astype(f.dtype)], axis=-1)
+            cond = self.cond_proj_f[l](f) + self.cond_proj_h[l](
+                h.astype(f.dtype)
             )
             conds.append(cond)
             new_state.append(s)
