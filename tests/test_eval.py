@@ -98,6 +98,19 @@ def test_physics_stats():
     assert np.isfinite(float(err))
 
 
+def test_long_horizon_rollout_stats_mode():
+    """BASELINE stretch config #5 in miniature: a 256-step rollout in
+    stats mode — O(1) scan memory, finite statistics throughout."""
+    model, variables = _variables()
+    lf_short = generate_case("backward-step", 1, 32, MC.hf_shape, MC.lf_shape, 9)[0][0]
+    lf_traj = jnp.asarray(np.concatenate([lf_short] * 8, axis=0))  # 256 steps
+    rollout = jax.jit(make_ensemble_rollout(model, 4, temperature=0.7))
+    out = rollout(variables, lf_traj, jax.random.PRNGKey(10))
+    assert out["mean"].shape[0] == 256
+    assert np.all(np.isfinite(out["mean"]))
+    assert np.all(np.isfinite(out["var"]))
+
+
 def test_rollout_ensemble_sharded():
     """Ensemble members shard across the 8 fake devices with identical
     results to unsharded (zero-communication parallelism)."""

@@ -57,7 +57,18 @@ class Trainer:
             jax.config.update("jax_debug_nans", True)
         self.dataset = dataset or load_dataset(cfg.data, cfg.model, "train")
         self.model = TMGlow(cfg.model)
-        self.mesh = mesh or make_mesh(cfg.train.mesh_data, cfg.train.mesh_ensemble)
+        if mesh is None:
+            data_ax = cfg.train.mesh_data
+            if data_ax == -1:
+                # Auto: largest device count that divides the batch
+                # (an 8-device host with batch 4 -> 4-way data mesh).
+                n = len(jax.devices()) // max(cfg.train.mesh_ensemble, 1)
+                b = cfg.data.batch_size
+                while n > 1 and b % n:
+                    n -= 1
+                data_ax = n
+            mesh = make_mesh(data_ax, cfg.train.mesh_ensemble)
+        self.mesh = mesh
         self.optimizer = make_optimizer(
             cfg.train.lr, cfg.train.lr_decay, cfg.train.grad_clip,
             cfg.train.weight_decay,
