@@ -1,0 +1,33 @@
+"""Visualization smoke tests: every figure function writes a PNG
+(SURVEY.md §2 'Visualization' parity)."""
+
+import numpy as np
+
+from tpuflow.eval.plots import (
+    plot_nll_curve,
+    plot_prediction_panels,
+    plot_profiles,
+    plot_samples_grid,
+    plot_tke,
+)
+
+H, W, C = 16, 32, 3
+
+
+def test_all_figures_written(tmp_path):
+    rng = np.random.default_rng(0)
+    lf = rng.normal(size=(4, 8, C)).astype(np.float32)
+    hf = rng.normal(size=(H, W, C)).astype(np.float32)
+    mean = rng.normal(size=(H, W, C)).astype(np.float32)
+    var = rng.random((H, W, C)).astype(np.float32)
+    samples = rng.normal(size=(5, H, W, C)).astype(np.float32)
+
+    paths = [
+        plot_prediction_panels(tmp_path, lf, hf, mean, var, t=3, channel=1),
+        plot_tke(tmp_path, var[..., 0], var[..., 1]),
+        plot_samples_grid(tmp_path, samples, hf, t=3),
+        plot_profiles(tmp_path, mean, np.sqrt(var), hf),
+        plot_nll_curve(tmp_path, np.linspace(2.0, 1.0, 20)),
+    ]
+    for p in paths:
+        assert p.exists() and p.stat().st_size > 1000, p

@@ -22,7 +22,12 @@ import numpy as np
 from tpuflow.cli import parse_args
 from tpuflow.data.dataset import load_dataset
 from tpuflow.eval.loading import load_eval_bundle
-from tpuflow.eval.plots import plot_prediction_panels, plot_tke
+from tpuflow.eval.plots import (
+    plot_prediction_panels,
+    plot_profiles,
+    plot_samples_grid,
+    plot_tke,
+)
 from tpuflow.eval.rollout import make_ensemble_rollout
 from tpuflow.eval.stats import tke_field
 from tpuflow.utils.profiling import step_timer
@@ -73,6 +78,20 @@ def main(argv=None) -> dict:
     tke_pred = np.asarray(tke_field(var).mean(axis=0))
     hf_var_time = hf_traj.var(axis=0)
     plot_tke(out_dir, tke_pred, np.asarray(tke_field(jnp.asarray(hf_var_time))))
+    t_mid = T // 2
+    plot_profiles(
+        out_dir, mean[t_mid], np.sqrt(var[t_mid]), hf_traj[t_mid]
+    )
+
+    # Individual member samples (small fields-mode rollout to t_mid+1).
+    n_show = min(8, cfg.eval.n_samples)
+    fields_fn = jax.jit(
+        make_ensemble_rollout(model, n_show, cfg.eval.temperature, "fields")
+    )
+    fields = fields_fn(
+        variables, jnp.asarray(lf_traj[: t_mid + 1]), jax.random.PRNGKey(2)
+    )
+    plot_samples_grid(out_dir, np.asarray(fields[-1]), hf_traj[t_mid], t_mid)
 
     metrics.update(
         steps=T,

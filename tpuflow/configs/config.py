@@ -101,6 +101,9 @@ class TrainConfig:
     fused_windows: bool = True
     checkpoint_dir: str = "./checkpoints"
     checkpoint_every: int = 10
+    # Save a sample-vs-target figure every N epochs (0 = off) — the
+    # reference's periodic sample+plot during training (SURVEY.md §3.1).
+    plot_every: int = 0
     log_every: int = 10
     seed: int = 42
     # Mesh axis sizes; -1 on data means "all remaining devices".

@@ -78,6 +78,68 @@ def plot_tke(
     return path
 
 
+def plot_samples_grid(
+    out_dir: str | pathlib.Path,
+    samples: np.ndarray,   # (N, H, W, C) ensemble member fields at one t
+    hf: np.ndarray,        # (H, W, C) HF target at the same t
+    t: int,
+    channel: int = 0,
+    max_samples: int = 7,
+) -> pathlib.Path:
+    """HF target + individual ensemble member samples (the reference's
+    sample panels — visualizes the generative spread)."""
+    out_dir = pathlib.Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    name = _CHANNELS[channel]
+    n = min(max_samples, samples.shape[0])
+    fig, axes = plt.subplots(1, n + 1, figsize=(3.2 * (n + 1), 3.0))
+    vmax = float(np.abs(hf[..., channel]).max()) or 1.0
+    _panel(axes[0], hf[..., channel], f"HF {name}", vlim=(-vmax, vmax))
+    for i in range(n):
+        _panel(
+            axes[i + 1], samples[i, ..., channel], f"sample {i}",
+            vlim=(-vmax, vmax),
+        )
+    path = out_dir / f"samples_t{t:04d}_{name}.png"
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def plot_profiles(
+    out_dir: str | pathlib.Path,
+    mean: np.ndarray,      # (H, W, C) predicted ensemble mean
+    std: np.ndarray,       # (H, W, C) predicted ensemble std
+    hf: np.ndarray,        # (H, W, C) HF reference
+    x_fracs=(0.25, 0.5, 0.75),
+    channel: int = 0,
+) -> pathlib.Path:
+    """Vertical velocity profiles at x-stations with ±2σ uncertainty
+    bands vs the HF reference (the reference paper's profile figures)."""
+    out_dir = pathlib.Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    name = _CHANNELS[channel]
+    h, w = mean.shape[:2]
+    y = np.arange(h)
+    fig, axes = plt.subplots(1, len(x_fracs), figsize=(4 * len(x_fracs), 3.4),
+                             sharey=True)
+    for ax, xf in zip(np.atleast_1d(axes), x_fracs):
+        xi = int(xf * (w - 1))
+        m = mean[:, xi, channel]
+        s = std[:, xi, channel]
+        ax.fill_betweenx(y, m - 2 * s, m + 2 * s, alpha=0.3, label="±2σ")
+        ax.plot(m, y, label="pred mean")
+        ax.plot(hf[:, xi, channel], y, "--", label="HF")
+        ax.set_title(f"{name}(y) at x/L={xf:.2f}", fontsize=9)
+        ax.grid(alpha=0.3)
+    np.atleast_1d(axes)[0].set_ylabel("y index")
+    np.atleast_1d(axes)[-1].legend(fontsize=8)
+    path = out_dir / f"profiles_{name}.png"
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def plot_nll_curve(
     out_dir: str | pathlib.Path, bpd_per_step: np.ndarray
 ) -> pathlib.Path:

@@ -237,7 +237,28 @@ class Trainer:
                 or self.epoch == epochs
             ):
                 self.save()
+            if cfg.train.plot_every and self.epoch % cfg.train.plot_every == 0:
+                self._plot_sample()
         return last
+
+    def _plot_sample(self) -> None:
+        """Periodic sample figure during training (reference behaviour:
+        sample the model on a training LF frame, plot vs HF target)."""
+        from tpuflow.eval.plots import plot_prediction_panels
+        from tpuflow.models.tmglow import TMGlow
+
+        cfg = self.cfg
+        lf_b, hf_b = next(self.dataset.traj_batches(cfg.data.seed, cfg.data.batch_size))
+        state = init_lstm_state(cfg.model, (cfg.data.batch_size,))
+        x, _ = self.model.apply(
+            self.variables, jnp.asarray(lf_b[:, 0]), state,
+            jax.random.PRNGKey(self.epoch), 0.7, method=TMGlow.sample_step,
+        )
+        out_dir = f"{cfg.train.checkpoint_dir}/{cfg.name}/train_plots"
+        plot_prediction_panels(
+            out_dir, lf_b[0, 0], hf_b[0, 0], np.asarray(x[0]),
+            np.zeros_like(hf_b[0, 0]), t=self.epoch,
+        )
 
     def save(self) -> None:
         self.ckpt.save(

@@ -43,7 +43,14 @@ def step_timer(result: dict, key: str, n_items: int = 1):
     t0 = time.perf_counter()
     yield sync
     if sync:
-        jax.block_until_ready(sync[-1])
+        # Materialize one element to the host rather than
+        # block_until_ready: the latter has been observed returning
+        # early through tunneled TPU backends, but bytes cannot arrive
+        # before the computation finishes.
+        import numpy as np
+
+        leaf = jax.tree.leaves(sync[-1])[0]
+        np.asarray(leaf).ravel()[:1]
     dt = time.perf_counter() - t0
     result[key] = n_items / dt if dt > 0 else float("inf")
     result[f"{key}_seconds"] = dt
