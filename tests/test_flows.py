@@ -116,10 +116,11 @@ def test_coupling_roundtrip_logdet(with_cond):
     m = AffineCoupling(width=8, layers=2, growth_rate=4, dtype=jnp.float32)
     variables = m.init(jax.random.PRNGKey(10), x, cond)
 
-    # Perturb the zero-init output convs so the transform is nontrivial.
+    # Perturb the (zero-init) output-head columns so the transform is
+    # nontrivial.
     params = jax.tree.map(lambda a: a, variables["params"])
     for name in list(params["net"]):
-        if name.startswith("conv_out"):
+        if name.startswith(("conv_out", "joint_")):
             kern = params["net"][name]["kernel"]
             params["net"][name]["kernel"] = kern + 0.05 * jax.random.normal(
                 jax.random.PRNGKey(11), kern.shape

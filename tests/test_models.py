@@ -73,7 +73,10 @@ def _perturb_couplings(params, key):
     keys = jax.random.split(key, len(flat))
     for k, (path, leaf) in zip(keys, flat):
         names = [str(getattr(p, "key", "")) for p in path]
-        if any(n.startswith("conv_out") or n == "prior_conv" for n in names):
+        if any(
+            n.startswith(("conv_out", "joint_")) or n == "prior_conv"
+            for n in names
+        ):
             if names[-1] == "kernel":
                 leaf = leaf + 0.05 * jax.random.normal(k, leaf.shape)
         leaves.append(leaf)
