@@ -175,6 +175,11 @@ class Trainer:
         while self.epoch < epochs:
             epoch_t0 = time.perf_counter()
             epoch_bpd, n_windows = 0.0, 0
+            # Device-side metric accumulators: converting a metric to a
+            # Python float every batch would block on the step and
+            # serialize host->device transfer with compute (async
+            # dispatch lets the next batch upload while this one runs).
+            pending: list = []
             for lf_traj, hf_traj in self.dataset.traj_batches(
                 cfg.data.seed + self.epoch, b
             ):
@@ -186,7 +191,7 @@ class Trainer:
                         self.params, self.buffers, self.opt_state, lf_d, hf_d
                     )
                     self.global_step += n_win
-                    epoch_bpd += float(metrics["bpd"]) * n_win
+                    pending.append((n_win, metrics))
                     n_windows += n_win
                     if (
                         self.global_step // cfg.train.log_every
@@ -225,6 +230,9 @@ class Trainer:
                             bpd=metrics["bpd"],
                             grad_norm=metrics["grad_norm"],
                         )
+            # Drain device-side metrics once per epoch (single sync).
+            for n_win, m in pending:
+                epoch_bpd += float(m["bpd"]) * n_win
             epoch_dt = time.perf_counter() - epoch_t0
             last = {
                 "epoch": self.epoch,
