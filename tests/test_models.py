@@ -5,7 +5,6 @@ finiteness/differentiability and sampling (SURVEY.md §4)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from tpuflow.configs.config import ModelConfig
 from tpuflow.models import (

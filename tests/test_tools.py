@@ -7,7 +7,7 @@ import pytest
 torch = pytest.importorskip("torch")
 
 import jax
-import jax.numpy as jnp
+
 
 from tpuflow.configs.config import CaseConfig, DataConfig, ModelConfig
 from tpuflow.models import TMGlow, init_lstm_state

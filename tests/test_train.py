@@ -2,14 +2,13 @@
 data-parallel sharding over 8 fake devices, checkpoint resume
 (SURVEY.md §4 integration + distributed-without-a-cluster)."""
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from tpuflow.configs.config import CaseConfig, DataConfig, ModelConfig, TrainConfig
-from tpuflow.data import generate_case, TrajectoryDataset
+from tpuflow.data import generate_case
 from tpuflow.models import TMGlow, init_lstm_state
 from tpuflow.train import Trainer, make_mesh, make_train_step, window_bpd_fn
 from tpuflow.train.mesh import data_sharding, shard_batch

@@ -10,7 +10,7 @@ preserving the reference's case API: one flag selects the case
 from __future__ import annotations
 
 import dataclasses
-import importlib.resources
+
 import pathlib
 from dataclasses import dataclass, field
 from typing import Any

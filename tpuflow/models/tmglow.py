@@ -21,7 +21,7 @@ shapes, so scan compiles once (SURVEY.md §7 hard part 2).
 from __future__ import annotations
 
 import math
-from typing import Any
+
 
 import flax.linen as nn
 import jax
