@@ -132,6 +132,22 @@ def test_fused_windows_matches_per_window():
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
 
 
+def test_training_deterministic(tmp_path):
+    """Same config + seeds => bit-identical parameters (SURVEY.md §5
+    failure-recovery contract: deterministic resume/rerun)."""
+    import jax
+
+    results = []
+    for i in range(2):
+        cfg = _tiny_cfg(tmp_path / f"run{i}")
+        tr = Trainer(cfg, logger=MetricsLogger(quiet=True))
+        tr.init_or_resume()
+        tr.run(epochs=1)
+        results.append(jax.tree.leaves(tr.params))
+    for a, b in zip(*results):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_checkpoint_resume(tmp_path):
     cfg = _tiny_cfg(tmp_path)
     tr = Trainer(cfg, logger=MetricsLogger(quiet=True))
