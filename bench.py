@@ -72,8 +72,9 @@ def _build(use_pallas: bool):
 def _materialize(out) -> float:
     """Force completion with a host transfer — block_until_ready has
     been observed returning early through this machine's TPU tunnel,
-    but the bytes cannot arrive before the computation finishes."""
-    return float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+    but the bytes cannot arrive before the computation finishes. The
+    device-side one-element slice keeps the transfer O(1) bytes."""
+    return float(np.asarray(jax.tree.leaves(out)[0].ravel()[:1])[0])
 
 
 def _time_rollout(rollout, variables, lf_traj, steps: int, repeats: int = 3) -> float:

@@ -49,8 +49,13 @@ def main(argv=None) -> dict:
         )
         mean, var = out["mean"], out["var"]
         hf = jnp.asarray(ds.hf[i, :T])
-        # TKE of predicted ensemble (time-avg) vs HF temporal TKE.
-        tke_pred = tke_field(var).mean(axis=0)
+        # Predicted turbulent fluctuation = total variance over the
+        # (time x ensemble) sample population (law of total variance:
+        # var_t(ens-mean) + mean_t(ens-var)); HF reference fluctuation
+        # = temporal variance. Comparing ensemble variance alone to
+        # temporal variance would mismatch quantities.
+        var_total = jnp.var(mean, axis=0) + jnp.mean(var, axis=0)
+        tke_pred = tke_field(var_total)
         tke_ref = tke_field(hf.var(axis=0))
         tke_errs.append(float(relative_l2(tke_pred, tke_ref)))
         mean_errs.append(float(relative_l2(mean, hf)))

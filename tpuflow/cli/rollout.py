@@ -75,7 +75,10 @@ def main(argv=None) -> dict:
         plot_prediction_panels(
             out_dir, lf_traj[t], hf_traj[t], mean[t], var[t], t
         )
-    tke_pred = np.asarray(tke_field(var).mean(axis=0))
+    # Total predicted fluctuation over (time x ensemble) vs HF temporal
+    # fluctuation (see cli/evaluate.py for the variance decomposition).
+    var_total = mean.var(axis=0) + var.mean(axis=0)
+    tke_pred = np.asarray(tke_field(jnp.asarray(var_total)))
     hf_var_time = hf_traj.var(axis=0)
     plot_tke(out_dir, tke_pred, np.asarray(tke_field(jnp.asarray(hf_var_time))))
     t_mid = T // 2

@@ -50,7 +50,9 @@ def step_timer(result: dict, key: str, n_items: int = 1):
         import numpy as np
 
         leaf = jax.tree.leaves(sync[-1])[0]
-        np.asarray(leaf).ravel()[:1]
+        # Slice ONE element device-side first so the host transfer is
+        # O(1) bytes, not the whole result.
+        np.asarray(leaf.ravel()[:1] if hasattr(leaf, "ravel") else leaf)
     dt = time.perf_counter() - t0
     result[key] = n_items / dt if dt > 0 else float("inf")
     result[f"{key}_seconds"] = dt
