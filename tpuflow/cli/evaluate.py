@@ -22,7 +22,7 @@ from tpuflow.data.dataset import load_dataset
 from tpuflow.eval.loading import load_eval_bundle
 from tpuflow.eval.plots import plot_nll_curve, plot_tke
 from tpuflow.eval.rollout import make_ensemble_rollout, make_nll_eval
-from tpuflow.eval.stats import relative_l2, tke_field
+from tpuflow.eval.stats import relative_l2, tke_field, total_variance
 
 
 def main(argv=None) -> dict:
@@ -42,29 +42,41 @@ def main(argv=None) -> dict:
             model, cfg.eval.n_samples, cfg.eval.temperature, collect="stats"
         )
     )
+    if ds.n_traj == 0:
+        raise ValueError("test split is empty — nothing to evaluate")
+
+    # Physics statistics are computed in PHYSICAL units (the dataset
+    # holds normalized fields; per-channel sigma differs, so normalized
+    # TKE would reweight u/v fluctuations — stats.py contract).
+    hf_std = jnp.asarray(ds.norm.hf_std)
     tke_errs, mean_errs, var_mean = [], [], []
+    tke_pred_sum = tke_ref_sum = None
     for i in range(ds.n_traj):
         out = rollout(
             variables, jnp.asarray(ds.lf[i, :T]), jax.random.PRNGKey(i)
         )
-        mean, var = out["mean"], out["var"]
-        hf = jnp.asarray(ds.hf[i, :T])
-        # Predicted turbulent fluctuation = total variance over the
-        # (time x ensemble) sample population (law of total variance:
-        # var_t(ens-mean) + mean_t(ens-var)); HF reference fluctuation
-        # = temporal variance. Comparing ensemble variance alone to
-        # temporal variance would mismatch quantities.
-        var_total = jnp.var(mean, axis=0) + jnp.mean(var, axis=0)
-        tke_pred = tke_field(var_total)
+        mean = jnp.asarray(ds.denorm_hf(np.asarray(out["mean"])))
+        var = out["var"] * hf_std**2
+        hf = jnp.asarray(ds.denorm_hf(ds.hf[i, :T]))
+        # Predicted turbulent fluctuation: pooled (time x ensemble)
+        # variance vs the HF temporal variance (see stats.total_variance).
+        tke_pred = tke_field(total_variance(mean, var))
         tke_ref = tke_field(hf.var(axis=0))
         tke_errs.append(float(relative_l2(tke_pred, tke_ref)))
         mean_errs.append(float(relative_l2(mean, hf)))
         var_mean.append(float(var.mean()))
+        tke_pred_sum = tke_pred if tke_pred_sum is None else tke_pred_sum + tke_pred
+        tke_ref_sum = tke_ref if tke_ref_sum is None else tke_ref_sum + tke_ref
 
     out_dir = pathlib.Path(cfg.eval.output_dir) / cfg.name
     out_dir.mkdir(parents=True, exist_ok=True)
     plot_nll_curve(out_dir, bpd_per_step)
-    plot_tke(out_dir, np.asarray(tke_pred), np.asarray(tke_ref))
+    # Figure matches the metric: averaged over ALL test trajectories.
+    plot_tke(
+        out_dir,
+        np.asarray(tke_pred_sum) / ds.n_traj,
+        np.asarray(tke_ref_sum) / ds.n_traj,
+    )
 
     metrics = {
         "test_bpd": float(np.mean(bpd_per_step)),

@@ -29,7 +29,7 @@ from tpuflow.eval.plots import (
     plot_tke,
 )
 from tpuflow.eval.rollout import make_ensemble_rollout
-from tpuflow.eval.stats import tke_field
+from tpuflow.eval.stats import tke_field, total_variance
 from tpuflow.utils.profiling import step_timer
 
 
@@ -68,22 +68,24 @@ def main(argv=None) -> dict:
 
     out_dir = pathlib.Path(cfg.eval.output_dir) / cfg.name
     out_dir.mkdir(parents=True, exist_ok=True)
-    mean, var = np.asarray(out["mean"]), np.asarray(out["var"])
+    # Physics statistics and figures in PHYSICAL units (stats.py
+    # contract); the dataset holds normalized fields.
+    hf_std = np.asarray(ds.norm.hf_std)
+    mean = ds.denorm_hf(np.asarray(out["mean"]))
+    var = np.asarray(out["var"]) * hf_std**2
+    hf_phys = ds.denorm_hf(hf_traj)
+    lf_phys = lf_traj * np.asarray(ds.norm.lf_std) + np.asarray(ds.norm.lf_mean)
     np.savez_compressed(out_dir / "rollout_stats.npz", mean=mean, var=var)
 
     for t in (0, T // 2, T - 1):
         plot_prediction_panels(
-            out_dir, lf_traj[t], hf_traj[t], mean[t], var[t], t
+            out_dir, lf_phys[t], hf_phys[t], mean[t], var[t], t
         )
-    # Total predicted fluctuation over (time x ensemble) vs HF temporal
-    # fluctuation (see cli/evaluate.py for the variance decomposition).
-    var_total = mean.var(axis=0) + var.mean(axis=0)
-    tke_pred = np.asarray(tke_field(jnp.asarray(var_total)))
-    hf_var_time = hf_traj.var(axis=0)
-    plot_tke(out_dir, tke_pred, np.asarray(tke_field(jnp.asarray(hf_var_time))))
+    tke_pred = np.asarray(tke_field(total_variance(jnp.asarray(mean), jnp.asarray(var))))
+    plot_tke(out_dir, tke_pred, np.asarray(tke_field(jnp.asarray(hf_phys.var(axis=0)))))
     t_mid = T // 2
     plot_profiles(
-        out_dir, mean[t_mid], np.sqrt(var[t_mid]), hf_traj[t_mid]
+        out_dir, mean[t_mid], np.sqrt(var[t_mid]), hf_phys[t_mid]
     )
 
     # Individual member samples (small fields-mode rollout to t_mid+1).
@@ -94,7 +96,9 @@ def main(argv=None) -> dict:
     fields = fields_fn(
         variables, jnp.asarray(lf_traj[: t_mid + 1]), jax.random.PRNGKey(2)
     )
-    plot_samples_grid(out_dir, np.asarray(fields[-1]), hf_traj[t_mid], t_mid)
+    plot_samples_grid(
+        out_dir, ds.denorm_hf(np.asarray(fields[-1])), hf_phys[t_mid], t_mid
+    )
 
     metrics.update(
         steps=T,

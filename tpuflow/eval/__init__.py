@@ -5,6 +5,7 @@ statistics (TKE, velocity moments), held-out NLL, figures
 from tpuflow.eval.rollout import make_ensemble_rollout, make_nll_eval
 from tpuflow.eval.stats import (
     tke_field,
+    total_variance,
     velocity_moments,
     relative_l2,
     ensemble_stats,
@@ -14,6 +15,7 @@ __all__ = [
     "make_ensemble_rollout",
     "make_nll_eval",
     "tke_field",
+    "total_variance",
     "velocity_moments",
     "relative_l2",
     "ensemble_stats",

@@ -65,9 +65,18 @@ def relative_l2(pred: jnp.ndarray, ref: jnp.ndarray, axes=None) -> jnp.ndarray:
     return num / den
 
 
-def time_averaged_tke(fields_or_var: jnp.ndarray, ensemble_axis: int = 0):
-    """TKE of the time-averaged flow: variance over ensemble at each
-    (t, x) then mean over time. Accepts raw member fields
-    (N, T, H, W, C)."""
-    var = jnp.var(fields_or_var, axis=ensemble_axis)
-    return jnp.mean(tke_field(var), axis=0)
+def total_variance(mean_t: jnp.ndarray, var_t: jnp.ndarray) -> jnp.ndarray:
+    """Pooled variance of the (time × ensemble) sample population from
+    per-step ensemble stats (law of total variance):
+
+        var_pool = var_time(ensemble mean) + mean_time(ensemble var)
+
+    This is the quantity comparable to the HF reference's TEMPORAL
+    variance when computing TKE — ensemble variance alone measures a
+    different fluctuation and under-reports for a sharp model.
+
+    Args:
+      mean_t: (T, ..., C) per-step ensemble means.
+      var_t:  (T, ..., C) per-step ensemble variances.
+    """
+    return jnp.var(mean_t, axis=0) + jnp.mean(var_t, axis=0)

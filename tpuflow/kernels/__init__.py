@@ -1,3 +1,3 @@
-from tpuflow.kernels.coupling_ops import coupling_apply, actnorm_apply
+from tpuflow.kernels.coupling_ops import coupling_apply
 
-__all__ = ["coupling_apply", "actnorm_apply"]
+__all__ = ["coupling_apply"]

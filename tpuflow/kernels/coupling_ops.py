@@ -79,22 +79,6 @@ def coupling_apply(
     return _xla_coupling_apply(x, raw, t, reverse=reverse)
 
 
-def actnorm_apply(
-    x: jax.Array,
-    bias: jax.Array,
-    log_scale: jax.Array,
-    *,
-    reverse: bool = False,
-) -> tuple[jax.Array, jax.Array]:
-    """ActNorm affine (XLA; trivially fused by the compiler)."""
-    x = x.astype(jnp.float32)
-    h, w = x.shape[-3], x.shape[-2]
-    logdet = jnp.broadcast_to(h * w * jnp.sum(log_scale), x.shape[:-3])
-    if reverse:
-        return x * jnp.exp(-log_scale) - bias, -logdet
-    return (x + bias) * jnp.exp(log_scale), logdet
-
-
 @functools.cache
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
