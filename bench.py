@@ -77,7 +77,7 @@ def _materialize(out) -> float:
     return float(np.asarray(jax.tree.leaves(out)[0].ravel()[:1])[0])
 
 
-def _time_rollout(rollout, variables, lf_traj, steps: int, repeats: int = 3) -> float:
+def _time_rollout(rollout, variables, lf_traj, steps: int, repeats: int = 5) -> float:
     """Median steady-state steps/sec over ``repeats`` timed runs."""
     fn = jax.jit(rollout)
     lf = jnp.asarray(lf_traj[:steps])
