@@ -114,17 +114,18 @@ def test_long_horizon_rollout_stats_mode():
 def test_rollout_ensemble_sharded():
     """Ensemble members shard across the 8 fake devices with identical
     results to unsharded (zero-communication parallelism)."""
-    from tpuflow.train.mesh import ensemble_sharding, make_mesh
+    from tpuflow.train.mesh import make_mesh
 
     model, variables = _variables()
     lf_traj = jnp.asarray(
         generate_case("backward-step", 1, T, MC.hf_shape, MC.lf_shape, 1)[0][0]
     )
     n = 8
-    rollout = make_ensemble_rollout(model, n, temperature=0.8)
+    ref = jax.jit(make_ensemble_rollout(model, n, temperature=0.8))(
+        variables, lf_traj, jax.random.PRNGKey(5)
+    )
     mesh = make_mesh(data=4, ensemble=2)
-    jr = jax.jit(rollout)
-    ref = jr(variables, lf_traj, jax.random.PRNGKey(5))
-    with mesh:
-        out = jr(variables, lf_traj, jax.random.PRNGKey(5))
+    sharded = jax.jit(make_ensemble_rollout(model, n, temperature=0.8, mesh=mesh))
+    out = sharded(variables, lf_traj, jax.random.PRNGKey(5))
     np.testing.assert_allclose(ref["mean"], out["mean"], atol=1e-5)
+    np.testing.assert_allclose(ref["var"], out["var"], atol=1e-5)

@@ -48,7 +48,6 @@ def main(argv=None) -> dict:
     # Physics statistics are computed in PHYSICAL units (the dataset
     # holds normalized fields; per-channel sigma differs, so normalized
     # TKE would reweight u/v fluctuations — stats.py contract).
-    hf_std = jnp.asarray(ds.norm.hf_std)
     tke_errs, mean_errs, var_mean = [], [], []
     tke_pred_sum = tke_ref_sum = None
     for i in range(ds.n_traj):
@@ -56,7 +55,7 @@ def main(argv=None) -> dict:
             variables, jnp.asarray(ds.lf[i, :T]), jax.random.PRNGKey(i)
         )
         mean = jnp.asarray(ds.denorm_hf(np.asarray(out["mean"])))
-        var = out["var"] * hf_std**2
+        var = jnp.asarray(ds.denorm_hf_var(np.asarray(out["var"])))
         hf = jnp.asarray(ds.denorm_hf(ds.hf[i, :T]))
         # Predicted turbulent fluctuation: pooled (time x ensemble)
         # variance vs the HF temporal variance (see stats.total_variance).

@@ -50,9 +50,17 @@ def main(argv=None) -> dict:
     else:
         lf_traj, hf_traj = ds.lf[0, :T], ds.hf[0, :T]
 
+    # Multi-device hosts: shard the ensemble across all chips (zero
+    # communication); single-device (the common 1-chip case) runs flat.
+    mesh = None
+    if len(jax.devices()) > 1 and cfg.eval.n_samples % len(jax.devices()) == 0:
+        from tpuflow.train.mesh import make_mesh
+
+        mesh = make_mesh(data=1, ensemble=len(jax.devices()))
     rollout = jax.jit(
         make_ensemble_rollout(
-            model, cfg.eval.n_samples, cfg.eval.temperature, collect="stats"
+            model, cfg.eval.n_samples, cfg.eval.temperature,
+            collect="stats", mesh=mesh,
         )
     )
     # Compile once, then time the real run.
@@ -70,9 +78,8 @@ def main(argv=None) -> dict:
     out_dir.mkdir(parents=True, exist_ok=True)
     # Physics statistics and figures in PHYSICAL units (stats.py
     # contract); the dataset holds normalized fields.
-    hf_std = np.asarray(ds.norm.hf_std)
     mean = ds.denorm_hf(np.asarray(out["mean"]))
-    var = np.asarray(out["var"]) * hf_std**2
+    var = ds.denorm_hf_var(np.asarray(out["var"]))
     hf_phys = ds.denorm_hf(hf_traj)
     lf_phys = lf_traj * np.asarray(ds.norm.lf_std) + np.asarray(ds.norm.lf_mean)
     np.savez_compressed(out_dir / "rollout_stats.npz", mean=mean, var=var)

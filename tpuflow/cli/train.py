@@ -19,8 +19,9 @@ def main(argv=None) -> dict:
     trainer.init_or_resume()
     final = trainer.run()
     print(
-        f"done: epoch={final.get('epoch')} mean_bpd={final.get('mean_bpd'):.4f} "
-        f"windows/s={final.get('windows_per_sec'):.2f}"
+        f"done: epoch={final.get('epoch')} "
+        f"mean_bpd={final.get('mean_bpd', float('nan')):.4f} "
+        f"windows/s={final.get('windows_per_sec', 0.0):.2f}"
     )
     return final
 

@@ -79,7 +79,14 @@ class TrajectoryDataset:
         return self.lf.shape[1]
 
     def denorm_hf(self, x: np.ndarray) -> np.ndarray:
+        """Normalized HF FIELD -> physical units (affine)."""
         return x * self.norm.hf_std + self.norm.hf_mean
+
+    def denorm_hf_var(self, var: np.ndarray) -> np.ndarray:
+        """Normalized HF VARIANCE -> physical units. Variances scale by
+        sigma^2 and do NOT shift by the mean — using denorm_hf on a
+        variance field corrupts TKE by the mean flow."""
+        return var * self.norm.hf_std**2
 
     def traj_batches(self, seed: int, batch_size: int, drop_remainder: bool = True):
         """Yield (lf, hf) trajectory batches (B, T, ...), shuffled.

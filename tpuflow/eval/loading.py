@@ -54,12 +54,13 @@ def load_eval_bundle(
         "opt_state": jax.eval_shape(opt.init, abstract["params"]),
         "norm": {k: vec for k in ("lf_mean", "lf_std", "hf_mean", "hf_std")},
     }
-    restored = ckpt.restore(step, target=target)
+    actual_step = step if step is not None else ckpt.latest_step()
+    restored = ckpt.restore(actual_step, target=target)
     state_tree = restored["state"]
     variables = {
         "params": state_tree["params"],
         "buffers": state_tree["buffers"],
     }
     norm = NormStats.from_dict(state_tree["norm"])
-    print(f"loaded checkpoint step {ckpt.latest_step()} from {ckpt_dir}")
+    print(f"loaded checkpoint step {actual_step} from {ckpt_dir}")
     return model, variables, norm

@@ -45,22 +45,36 @@ def make_ensemble_rollout(
     n_samples: int,
     temperature: float = 1.0,
     collect: str = "stats",
+    mesh=None,
 ) -> Callable:
     """Build rollout(variables, lf_traj, rng) for ONE LF trajectory.
 
     Args:
       lf_traj: (T, h, w, C) normalized LF input sequence.
+      mesh: optional jax.sharding.Mesh — shards the ensemble axis of
+        the recurrent state (and therefore every member-batched
+        intermediate) across ALL mesh devices: zero-communication
+        multi-chip UQ sampling (SURVEY.md §2 'Ensemble parallelism').
+        n_samples must divide by the device count.
 
     Returns (by ``collect``):
       "stats":  dict with mean (T,H,W,C), var (T,H,W,C) over members.
       "fields": (T, N, H, W, C) all ensemble member fields.
     """
+    if collect not in ("stats", "fields"):
+        raise ValueError(f"collect must be 'stats' or 'fields', got {collect!r}")
     cfg = model.cfg
+    if mesh is not None:
+        from tpuflow.train.mesh import ensemble_sharding
+
+        member_sharding = ensemble_sharding(mesh)
 
     def rollout(variables, lf_traj, rng):
         from tpuflow.models.tmglow import build_inv_caches
 
         states = init_lstm_state(cfg, (n_samples,))
+        if mesh is not None:
+            states = jax.lax.with_sharding_constraint(states, member_sharding)
         # Scan-invariant precomputation (see module docstring).
         inv_caches = build_inv_caches(cfg, variables)
         feats_traj = model.apply(variables, lf_traj, method=TMGlow.encode_lf)

@@ -6,9 +6,11 @@ velocity-field moments over ensemble/time, and relative error norms of
 predicted mean/variance against the high-fidelity reference.
 
 All functions take either ensemble fields (N, ..., C) or precomputed
-two-moment stats, in PHYSICAL units (denormalize first — see
-TrajectoryDataset.denorm_hf). Channel convention: [..., 0]=u, 1=v,
-2=p.
+two-moment stats, in PHYSICAL units — denormalize first: FIELDS with
+``TrajectoryDataset.denorm_hf`` (affine), VARIANCES with
+``TrajectoryDataset.denorm_hf_var`` (sigma^2 scaling only; the affine
+field formula would shift a variance by the mean flow). Channel
+convention: [..., 0]=u, 1=v, 2=p.
 """
 
 from __future__ import annotations

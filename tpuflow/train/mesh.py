@@ -39,6 +39,11 @@ def make_mesh(data: int = -1, ensemble: int = 1, devices=None) -> Mesh:
         if n % ensemble:
             raise ValueError(f"{n} devices not divisible by ensemble={ensemble}")
         data = n // ensemble
+    if data < 1 or ensemble < 1:
+        raise ValueError(
+            f"mesh axes must be >=1, got data={data} ensemble={ensemble} "
+            f"(devices available: {n})"
+        )
     if data * ensemble > n:
         raise ValueError(
             f"mesh {data}x{ensemble} needs {data * ensemble} devices, have {n}"

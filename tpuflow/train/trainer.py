@@ -63,12 +63,23 @@ class Trainer:
                 # Auto: largest device count that divides the batch
                 # (an 8-device host with batch 4 -> 4-way data mesh).
                 n = len(jax.devices()) // max(cfg.train.mesh_ensemble, 1)
+                if n < 1:
+                    raise ValueError(
+                        f"mesh_ensemble={cfg.train.mesh_ensemble} needs at "
+                        f"least that many devices, have {len(jax.devices())}"
+                    )
                 b = cfg.data.batch_size
                 while n > 1 and b % n:
                     n -= 1
                 data_ax = n
             mesh = make_mesh(data_ax, cfg.train.mesh_ensemble)
         self.mesh = mesh
+        if cfg.data.window > self.dataset.n_steps:
+            raise ValueError(
+                f"data.window={cfg.data.window} exceeds the dataset's "
+                f"trajectory length {self.dataset.n_steps}: no BPTT window "
+                "fits, so training would silently do nothing"
+            )
         self.optimizer = make_optimizer(
             cfg.train.lr, cfg.train.lr_decay, cfg.train.grad_clip,
             cfg.train.weight_decay,
@@ -160,6 +171,13 @@ class Trainer:
             self.init_or_resume()
         cfg = self.cfg
         epochs = cfg.train.epochs if epochs is None else epochs
+        if self.epoch >= epochs:
+            print(
+                f"already trained to epoch {self.epoch} (>= {epochs}); "
+                "nothing to do"
+            )
+            return {"epoch": self.epoch, "mean_bpd": float("nan"),
+                    "windows_per_sec": 0.0}
 
         from tpuflow.utils.profiling import trace_context
 
@@ -185,8 +203,12 @@ class Trainer:
             ):
                 if cfg.train.fused_windows:
                     n_win = lf_traj.shape[1] // window
-                    lf_d = jax.device_put(jnp.asarray(lf_traj), ds)
-                    hf_d = jax.device_put(jnp.asarray(hf_traj), ds)
+                    # device_put straight from the numpy batch: each
+                    # shard uploads once to its own device (jnp.asarray
+                    # first would commit the whole batch to device 0
+                    # and then reshard).
+                    lf_d = jax.device_put(lf_traj, ds)
+                    hf_d = jax.device_put(hf_traj, ds)
                     (self.params, self.opt_state, metrics) = self._traj_step(
                         self.params, self.buffers, self.opt_state, lf_d, hf_d
                     )
@@ -212,8 +234,8 @@ class Trainer:
                 for lf_win, hf_win in TrajectoryDataset.windows(
                     lf_traj, hf_traj, window
                 ):
-                    lf_d = jax.device_put(jnp.asarray(lf_win), ds)
-                    hf_d = jax.device_put(jnp.asarray(hf_win), ds)
+                    lf_d = jax.device_put(lf_win, ds)
+                    hf_d = jax.device_put(hf_win, ds)
                     (self.params, self.opt_state, state, metrics) = (
                         self._train_step(
                             self.params, self.buffers, self.opt_state,
@@ -221,7 +243,7 @@ class Trainer:
                         )
                     )
                     self.global_step += 1
-                    epoch_bpd += float(metrics["bpd"])
+                    pending.append((1, metrics))
                     n_windows += 1
                     if self.global_step % cfg.train.log_every == 0:
                         self.logger.log(
