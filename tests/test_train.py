@@ -3,6 +3,8 @@ data-parallel sharding over 8 fake devices, checkpoint resume
 (SURVEY.md §4 integration + distributed-without-a-cluster)."""
 
 
+import dataclasses
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -130,6 +132,36 @@ def test_fused_windows_matches_per_window():
     )
     for a, b in zip(jax.tree.leaves(p_fused), jax.tree.leaves(p_ref)):
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
+
+
+def test_window_longer_than_trajectory_rejected(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    cfg = dataclasses.replace(cfg, data=dataclasses.replace(cfg.data, window=99))
+    with pytest.raises(ValueError, match="exceeds the dataset"):
+        Trainer(cfg, logger=MetricsLogger(quiet=True))
+
+
+def test_rerun_after_completion_is_noop(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    tr = Trainer(cfg, logger=MetricsLogger(quiet=True))
+    tr.init_or_resume()
+    tr.run(epochs=1)
+    tr.save()
+    tr2 = Trainer(cfg, logger=MetricsLogger(quiet=True))
+    tr2.init_or_resume()
+    out = tr2.run(epochs=1)
+    assert out["epoch"] == 1 and np.isnan(out["mean_bpd"])
+
+
+def test_make_mesh_rejects_bad_axes():
+    from tpuflow.train.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="must be >=1"):
+        make_mesh(data=0, ensemble=8)
+    with pytest.raises(ValueError, match="not divisible"):
+        make_mesh(data=-1, ensemble=3)  # 8 devices
+    with pytest.raises(ValueError, match="needs"):
+        make_mesh(data=8, ensemble=2)
 
 
 def test_training_deterministic(tmp_path):
