@@ -47,9 +47,13 @@ def velocity_moments(
     mean = jnp.mean(fields, axis=axes, keepdims=True)
     d = fields - mean
     var = jnp.mean(d**2, axis=axes)
-    std = jnp.sqrt(var) + 1e-12
-    skew = jnp.mean(d**3, axis=axes) / std**3
-    kurt = jnp.mean(d**4, axis=axes) / std**4
+    # Denominators from var + eps, not (std + tiny)**k: for degenerate
+    # points (e.g. masked solid regions where d == 0) std**4 with
+    # std ~ 1e-12 underflows float32 to zero and yields NaN; var-based
+    # powers stay representable and give the correct 0 moments.
+    eps = 1e-12
+    skew = jnp.mean(d**3, axis=axes) / (var + eps) ** 1.5
+    kurt = jnp.mean(d**4, axis=axes) / (var + eps) ** 2
     return {
         "mean": jnp.squeeze(mean, axis=axes),
         "var": var,
