@@ -32,7 +32,7 @@ def _apply_platform_env() -> None:
 def parse_args(argv: list[str] | None = None, prog: str = "tpuflow") -> CaseConfig:
     _apply_platform_env()
     argv = sys.argv[1:] if argv is None else argv
-    if not argv or argv[0] in ("-h", "--help"):
+    if not argv or "-h" in argv or "--help" in argv:
         from tpuflow.configs.config import case_names
 
         print(__doc__)

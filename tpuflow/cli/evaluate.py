@@ -27,8 +27,9 @@ from tpuflow.eval.stats import relative_l2, tke_field, total_variance
 
 def main(argv=None) -> dict:
     cfg = parse_args(argv)
-    model, variables, _ = load_eval_bundle(cfg)
-    ds = load_dataset(cfg.data, cfg.model, "test")
+    model, variables, norm = load_eval_bundle(cfg)
+    # Checkpoint normalization constants are authoritative at eval time.
+    ds = load_dataset(cfg.data, cfg.model, "test", norm=norm)
     T = min(cfg.eval.rollout_steps, ds.n_steps)
 
     # Held-out NLL (teacher-forced forward direction).

@@ -36,11 +36,10 @@ from tpuflow.utils.profiling import step_timer
 def main(argv=None) -> dict:
     cfg = parse_args(argv)
     model, variables, norm = load_eval_bundle(cfg)
-    # Note: for synthetic data load_dataset("test") reproduces the
-    # train-split normalization deterministically, which matches the
-    # checkpoint's stored constants; `norm` is authoritative for
-    # converted/real checkpoints.
-    ds = load_dataset(cfg.data, cfg.model, "test")
+    # The checkpoint's stored normalization constants are authoritative
+    # (a converted/real checkpoint may have been trained with different
+    # statistics than this machine's dataset would recompute).
+    ds = load_dataset(cfg.data, cfg.model, "test", norm=norm)
     T = cfg.eval.rollout_steps
     n_avail = ds.n_steps
     if T > n_avail:
@@ -81,7 +80,7 @@ def main(argv=None) -> dict:
     mean = ds.denorm_hf(np.asarray(out["mean"]))
     var = ds.denorm_hf_var(np.asarray(out["var"]))
     hf_phys = ds.denorm_hf(hf_traj)
-    lf_phys = lf_traj * np.asarray(ds.norm.lf_std) + np.asarray(ds.norm.lf_mean)
+    lf_phys = ds.denorm_lf(lf_traj)
     np.savez_compressed(out_dir / "rollout_stats.npz", mean=mean, var=var)
 
     for t in (0, T // 2, T - 1):

@@ -140,6 +140,13 @@ class CaseConfig:
 
 
 def _from_dict(cls, d: dict[str, Any]):
+    known = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(d) - known
+    if unknown:
+        raise KeyError(
+            f"unknown {cls.__name__} keys {sorted(unknown)}; "
+            f"valid keys: {sorted(known)}"
+        )
     kwargs = {}
     for f in dataclasses.fields(cls):
         if f.name not in d:
@@ -169,7 +176,17 @@ def _apply_overrides(cfg: CaseConfig, overrides: dict[str, Any]) -> CaseConfig:
             raise KeyError(f"unknown config key: {key}")
         old = node[parts[-1]]
         if isinstance(old, bool):
-            val = val if isinstance(val, bool) else str(val).lower() in ("1", "true", "yes")
+            if not isinstance(val, bool):
+                s = str(val).lower()
+                if s in ("1", "true", "yes", "on"):
+                    val = True
+                elif s in ("0", "false", "no", "off"):
+                    val = False
+                else:
+                    raise ValueError(
+                        f"boolean override {key}={val!r} not understood "
+                        "(use true/false)"
+                    )
         elif isinstance(old, int):
             val = int(val)
         elif isinstance(old, float):

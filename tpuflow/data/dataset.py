@@ -88,6 +88,10 @@ class TrajectoryDataset:
         variance field corrupts TKE by the mean flow."""
         return var * self.norm.hf_std**2
 
+    def denorm_lf(self, x: np.ndarray) -> np.ndarray:
+        """Normalized LF FIELD -> physical units (affine)."""
+        return x * self.norm.lf_std + self.norm.lf_mean
+
     def traj_batches(self, seed: int, batch_size: int, drop_remainder: bool = True):
         """Yield (lf, hf) trajectory batches (B, T, ...), shuffled.
 
@@ -95,6 +99,11 @@ class TrajectoryDataset:
         BPTT windows from them so recurrent state can carry across
         windows within a batch (SURVEY.md §3.1 hot loop).
         """
+        if drop_remainder and self.n_traj < batch_size:
+            raise ValueError(
+                f"batch_size={batch_size} exceeds the dataset's "
+                f"{self.n_traj} trajectories: zero batches per epoch"
+            )
         order = np.random.default_rng(seed).permutation(self.n_traj)
         for i in range(0, len(order) - (batch_size - 1 if drop_remainder else 0), batch_size):
             idx = order[i : i + batch_size]
@@ -142,14 +151,22 @@ def save_archive(path: str | pathlib.Path, lf: np.ndarray, hf: np.ndarray) -> No
 
 
 def load_dataset(
-    data_cfg: DataConfig, model_cfg: ModelConfig, split: str = "train"
+    data_cfg: DataConfig,
+    model_cfg: ModelConfig,
+    split: str = "train",
+    norm: NormStats | None = None,
 ) -> TrajectoryDataset:
     """Build the dataset for a split per config.
 
     Synthetic mode generates deterministically from the config seed
     (train/test use disjoint seeds); archive mode reads
-    ``{data_dir}/{case}_{split}.h5|.npz``. Test split reuses the train
-    split's normalization constants (reference behaviour).
+    ``{data_dir}/{case}_{split}.h5|.npz``.
+
+    Normalization: pass ``norm`` to use explicit constants (e.g. the
+    ones stored in a checkpoint — authoritative at eval time, and it
+    skips loading the train split just to recompute statistics);
+    otherwise the train split's constants are computed and reused for
+    every split (reference behaviour).
     """
     if data_cfg.synthetic:
         n = data_cfg.n_train_traj if split == "train" else data_cfg.n_test_traj
@@ -158,20 +175,20 @@ def load_dataset(
             data_cfg.case, n, data_cfg.train_steps,
             model_cfg.hf_shape, model_cfg.lf_shape, seed=seed,
         )
-        if split == "train":
-            return TrajectoryDataset(lf, hf)
-        lf_tr, hf_tr = generate_case(
-            data_cfg.case, data_cfg.n_train_traj, data_cfg.train_steps,
-            model_cfg.hf_shape, model_cfg.lf_shape, seed=data_cfg.seed,
-        )
-        return TrajectoryDataset(lf, hf, norm=NormStats.from_data(lf_tr, hf_tr))
+        if norm is None and split != "train":
+            lf_tr, hf_tr = generate_case(
+                data_cfg.case, data_cfg.n_train_traj, data_cfg.train_steps,
+                model_cfg.hf_shape, model_cfg.lf_shape, seed=data_cfg.seed,
+            )
+            norm = NormStats.from_data(lf_tr, hf_tr)
+        return TrajectoryDataset(lf, hf, norm=norm)
 
     root = pathlib.Path(data_cfg.data_dir)
-    train_path = _find_archive(root, data_cfg.case, "train")
-    lf_tr, hf_tr = load_archive(train_path)
-    norm = NormStats.from_data(lf_tr, hf_tr)
-    if split == "train":
-        return TrajectoryDataset(lf_tr, hf_tr, norm=norm)
+    if norm is None:
+        lf_tr, hf_tr = load_archive(_find_archive(root, data_cfg.case, "train"))
+        norm = NormStats.from_data(lf_tr, hf_tr)
+        if split == "train":
+            return TrajectoryDataset(lf_tr, hf_tr, norm=norm)
     lf, hf = load_archive(_find_archive(root, data_cfg.case, split))
     return TrajectoryDataset(lf, hf, norm=norm)
 
