@@ -15,7 +15,12 @@ from tpuflow.utils.logging import MetricsLogger
 def main(argv=None) -> dict:
     cfg = parse_args(argv)
     log_path = pathlib.Path(cfg.train.checkpoint_dir) / cfg.name / "train_log.csv"
-    trainer = Trainer(cfg, logger=MetricsLogger(log_path))
+    trainer = Trainer(
+        cfg,
+        logger=MetricsLogger(
+            log_path, tensorboard_dir=cfg.train.tensorboard_dir or None
+        ),
+    )
     trainer.init_or_resume()
     final = trainer.run()
     print(

@@ -115,6 +115,8 @@ class TrainConfig:
     # jax.profiler trace directory ("" = off); view in TensorBoard or
     # ui.perfetto.dev (SURVEY.md §5 tracing row).
     trace_dir: str = ""
+    # TensorBoard scalar-summary directory ("" = CSV/stdout only).
+    tensorboard_dir: str = ""
 
 
 @dataclass(frozen=True)

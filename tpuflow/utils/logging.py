@@ -2,9 +2,10 @@
 
 Parity+: the reference logs via prints and loss-history arrays
 (SURVEY.md §5 "Metrics / logging"); tpuflow upgrades to structured CSV
-rows (one file per run) plus stdout lines, feeding the same quantities
-the reference tracks (NLL bits/dim, grad norm) and the north-star
-throughput counters (steps/sec/chip).
+rows (one file per run) plus stdout lines — and, when a
+``tensorboard_dir`` is given, TensorBoard scalar summaries — feeding
+the same quantities the reference tracks (NLL bits/dim, grad norm) and
+the north-star throughput counters (steps/sec/chip).
 """
 
 from __future__ import annotations
@@ -17,15 +18,31 @@ from typing import Any
 
 
 class MetricsLogger:
-    """Append-only CSV + stdout metrics stream."""
+    """Append-only CSV + stdout metrics stream, optional TensorBoard."""
 
-    def __init__(self, path: str | pathlib.Path | None = None, quiet: bool = False):
+    def __init__(
+        self,
+        path: str | pathlib.Path | None = None,
+        quiet: bool = False,
+        tensorboard_dir: str | pathlib.Path | None = None,
+    ):
         self._path = pathlib.Path(path) if path else None
         self._file = None
         self._writer = None
         self._fields: list[str] | None = None
         self._quiet = quiet
         self._t0 = time.time()
+        self._tb = None
+        if tensorboard_dir:
+            try:
+                import tensorflow as tf  # baked into this image
+
+                self._tb = tf.summary.create_file_writer(str(tensorboard_dir))
+            except ImportError:
+                print(
+                    "tensorboard_dir set but tensorflow unavailable; "
+                    "TensorBoard logging disabled", file=sys.stderr,
+                )
 
     def log(self, step: int, **metrics: Any) -> None:
         row = {"step": step, "wall_s": round(time.time() - self._t0, 3)}
@@ -40,6 +57,13 @@ class MetricsLogger:
                     self._writer.writeheader()
             self._writer.writerow({k: row.get(k, "") for k in self._fields})
             self._file.flush()
+        if self._tb is not None:
+            with self._tb.as_default():
+                import tensorflow as tf
+
+                for k, v in row.items():
+                    if k != "step" and isinstance(v, float):
+                        tf.summary.scalar(k, v, step=step)
         if not self._quiet:
             parts = " ".join(
                 f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
@@ -50,6 +74,8 @@ class MetricsLogger:
     def close(self) -> None:
         if self._file:
             self._file.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def _scalar(v: Any):
