@@ -80,3 +80,65 @@ def test_load_dataset_synthetic_split_norm_consistency():
     # Test split uses train-split normalization constants.
     np.testing.assert_array_equal(tr.norm.hf_mean, te.norm.hf_mean)
     assert te.n_traj == 2 and tr.n_traj == 3
+
+
+def test_download_file_checksum_and_idempotency(tmp_path):
+    """download_file streams a URL (file:// here — offline env),
+    verifies sha256, is idempotent, and rejects corruption."""
+    import hashlib
+
+    from tpuflow.data.download import download_file, sha256_file
+
+    src = tmp_path / "src.npz"
+    payload = b"x" * 4096
+    src.write_bytes(payload)
+    good = hashlib.sha256(payload).hexdigest()
+    url = src.as_uri()
+
+    dest = tmp_path / "out" / "a.npz"
+    got = download_file(url, dest, sha256=good)
+    assert got == dest and dest.read_bytes() == payload
+    assert sha256_file(dest) == good
+    # Idempotent: second call keeps the verified file.
+    assert download_file(url, dest, sha256=good) == dest
+    # Wrong checksum on a fresh download raises and leaves nothing.
+    bad_dest = tmp_path / "out" / "b.npz"
+    with pytest.raises(ValueError, match="sha256 mismatch"):
+        download_file(url, bad_dest, sha256="0" * 64)
+    assert not bad_dest.exists()
+
+
+def test_fetch_case_contract_and_sources(tmp_path):
+    """fetch_case resolves sources.json, lands the archive at the
+    loader's expected path, and validates the (lf, hf) contract."""
+    import json
+
+    from tpuflow.data.dataset import save_archive
+    from tpuflow.data.download import fetch_case
+
+    lf = np.zeros((2, 3, 4, 8, 3), np.float32)
+    hf = np.zeros((2, 3, 8, 16, 3), np.float32)
+    hosted = tmp_path / "hosted.npz"
+    save_archive(hosted, lf, hf)
+
+    data_dir = tmp_path / "datasets"
+    data_dir.mkdir()
+    (data_dir / "sources.json").write_text(
+        json.dumps(
+            {"backward-step": {"train": {"url": hosted.as_uri()}}}
+        )
+    )
+    dest = fetch_case("backward-step", data_dir, split="train")
+    assert dest == data_dir / "backward-step_train.npz"
+
+    # Unregistered (case, split) explains how to supply a source.
+    with pytest.raises(LookupError, match="no registered source"):
+        fetch_case("backward-step", data_dir, split="test")
+
+    # Contract violation is caught at download time.
+    bad = tmp_path / "bad.npz"
+    np.savez(bad, lf=np.zeros((2, 5, 4, 8, 3)), hf=np.zeros((2, 3, 8, 16, 3)))
+    with pytest.raises(ValueError, match="archive contract"):
+        fetch_case(
+            "cylinder-array", data_dir, split="train", url=bad.as_uri()
+        )

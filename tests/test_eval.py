@@ -129,3 +129,76 @@ def test_rollout_ensemble_sharded():
     out = sharded(variables, lf_traj, jax.random.PRNGKey(5))
     np.testing.assert_allclose(ref["mean"], out["mean"], atol=1e-5)
     np.testing.assert_allclose(ref["var"], out["var"], atol=1e-5)
+
+
+def test_energy_spectrum_mode_and_parseval():
+    """A single Fourier mode lands in its radial bin; total spectral
+    energy matches 0.5*<|u'|^2> (Parseval) for in-range modes."""
+    from tpuflow.eval import energy_spectrum
+
+    h, w = 32, 64
+    x = np.arange(w) / w
+    y = np.arange(h) / h
+    u = np.cos(2 * np.pi * 5 * x)[None, :] * np.ones((h, 1))  # kx=5
+    v = np.sin(2 * np.pi * 3 * y)[:, None] * np.ones((1, w))  # ky=3
+    fluct = np.stack([u, v], axis=-1).astype(np.float32)[None]  # (1,H,W,2)
+    k, e = energy_spectrum(jnp.asarray(fluct))
+    e = np.asarray(e)
+    assert k.shape == e.shape == (h // 2 + 1,)
+    # u-mode energy in bin 5, v-mode in bin 3; nothing elsewhere.
+    expected_total = 0.5 * float((fluct**2).mean(axis=(0, 1, 2)).sum())
+    np.testing.assert_allclose(e.sum(), expected_total, rtol=1e-5)
+    np.testing.assert_allclose(e[5], 0.5 * float((u**2).mean()), rtol=1e-5)
+    np.testing.assert_allclose(e[3], 0.5 * float((v**2).mean()), rtol=1e-5)
+    assert e[[0, 1, 2, 4, 6]].max() < 1e-10
+
+
+def test_ensemble_crps_brute_force_and_gaussian():
+    """Sorted-form ensemble CRPS == O(N^2) brute force; large-ensemble
+    CRPS converges to the closed-form Gaussian CRPS."""
+    from tpuflow.eval import ensemble_crps, gaussian_crps
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(7, 4, 5)).astype(np.float64)
+    y = rng.normal(size=(4, 5)).astype(np.float64)
+    got = np.asarray(ensemble_crps(jnp.asarray(x), jnp.asarray(y)))
+    n = x.shape[0]
+    t1 = np.abs(x - y[None]).mean(0)
+    t2 = np.abs(x[:, None] - x[None, :]).sum((0, 1)) / (2 * n * (n - 1))
+    np.testing.assert_allclose(got, t1 - t2, atol=1e-6)
+
+    # Convergence to the analytic Gaussian score.
+    xs = rng.normal(loc=0.3, scale=1.7, size=(4000, 16)).astype(np.float64)
+    ys = rng.normal(size=(16,)).astype(np.float64)
+    ens = np.asarray(ensemble_crps(jnp.asarray(xs), jnp.asarray(ys)))
+    gau = np.asarray(
+        gaussian_crps(
+            jnp.full((16,), 0.3), jnp.full((16,), 1.7**2), jnp.asarray(ys)
+        )
+    )
+    np.testing.assert_allclose(ens, gau, rtol=0.08, atol=0.02)
+
+
+def test_coverage_calibrated_ensemble():
+    """Reference drawn from the same distribution as the members =>
+    empirical coverage tracks the nominal levels (both estimators)."""
+    from tpuflow.eval import ensemble_coverage, gaussian_coverage
+
+    rng = np.random.default_rng(2)
+    members = rng.normal(size=(256, 32, 32)).astype(np.float32)
+    ref = rng.normal(size=(32, 32)).astype(np.float32)
+    levels = (0.5, 0.8, 0.9, 0.95)
+    emp = np.asarray(
+        ensemble_coverage(jnp.asarray(members), jnp.asarray(ref), levels)
+    )
+    gau = np.asarray(
+        gaussian_coverage(
+            jnp.asarray(members.mean(0)),
+            jnp.asarray(members.var(0)),
+            jnp.asarray(ref),
+            levels,
+        )
+    )
+    np.testing.assert_allclose(emp, np.asarray(levels), atol=0.06)
+    np.testing.assert_allclose(gau, np.asarray(levels), atol=0.06)
+    assert np.all(np.diff(emp) > -1e-6)  # monotone in the nominal level

@@ -6,7 +6,9 @@ import numpy as np
 from tpuflow.eval.plots import (
     plot_nll_curve,
     plot_prediction_panels,
+    plot_energy_spectrum,
     plot_profiles,
+    plot_reliability,
     plot_samples_grid,
     plot_tke,
 )
@@ -28,6 +30,17 @@ def test_all_figures_written(tmp_path):
         plot_samples_grid(tmp_path, samples, hf, t=3),
         plot_profiles(tmp_path, mean, np.sqrt(var), hf),
         plot_nll_curve(tmp_path, np.linspace(2.0, 1.0, 20)),
+        plot_energy_spectrum(
+            tmp_path,
+            np.arange(9.0),
+            np.geomspace(1.0, 1e-4, 9),
+            np.geomspace(1.2, 2e-4, 9),
+        ),
+        plot_reliability(
+            tmp_path,
+            np.array([0.5, 0.8, 0.9, 0.95]),
+            np.array([0.48, 0.77, 0.91, 0.96]),
+        ),
     ]
     for p in paths:
         assert p.exists() and p.stat().st_size > 1000, p

@@ -20,9 +20,23 @@ import numpy as np
 from tpuflow.cli import parse_args
 from tpuflow.data.dataset import load_dataset
 from tpuflow.eval.loading import load_eval_bundle
-from tpuflow.eval.plots import plot_nll_curve, plot_tke
+from tpuflow.eval.plots import (
+    plot_energy_spectrum,
+    plot_nll_curve,
+    plot_reliability,
+    plot_tke,
+)
 from tpuflow.eval.rollout import make_ensemble_rollout, make_nll_eval
-from tpuflow.eval.stats import relative_l2, tke_field, total_variance
+from tpuflow.eval.stats import (
+    energy_spectrum,
+    ensemble_coverage,
+    ensemble_crps,
+    relative_l2,
+    tke_field,
+    total_variance,
+)
+
+_COVERAGE_LEVELS = (0.5, 0.8, 0.9, 0.95)
 
 
 def main(argv=None) -> dict:
@@ -71,6 +85,57 @@ def main(argv=None) -> dict:
     out_dir = pathlib.Path(cfg.eval.output_dir) / cfg.name
     out_dir.mkdir(parents=True, exist_ok=True)
     plot_nll_curve(out_dir, bpd_per_step)
+
+    # Exact UQ calibration + spectra on the first test trajectory: a
+    # fields-mode rollout (memory O(T*N*H*W*C), so the horizon is
+    # capped by eval.calibration_steps) feeds ensemble CRPS, interval
+    # coverage, and the radial energy spectrum, all in physical units.
+    calib: dict[str, float] = {}
+    t_cal = min(cfg.eval.calibration_steps, T)
+    if t_cal > 0:
+        fields_rollout = jax.jit(
+            make_ensemble_rollout(
+                model, cfg.eval.n_samples, cfg.eval.temperature,
+                collect="fields",
+            )
+        )
+        fields = np.asarray(
+            fields_rollout(
+                variables, jnp.asarray(ds.lf[0, :t_cal]), jax.random.PRNGKey(0)
+            )
+        )  # (T, N, H, W, C) normalized
+        fields = ds.denorm_hf(fields)
+        hf0 = ds.denorm_hf(ds.hf[0, :t_cal])  # (T, H, W, C)
+        members = jnp.asarray(np.moveaxis(fields, 1, 0))  # (N, T, H, W, C)
+        crps = ensemble_crps(members, jnp.asarray(hf0))
+        coverage = ensemble_coverage(
+            members, jnp.asarray(hf0), levels=_COVERAGE_LEVELS
+        )
+        # Spectra of velocity fluctuations (time-mean flow removed);
+        # predicted spectrum averages over time AND ensemble members.
+        pred_fluct = members[..., :2] - members[..., :2].mean(
+            axis=(0, 1), keepdims=True
+        )
+        ref_fluct = jnp.asarray(hf0[..., :2] - hf0[..., :2].mean(0, keepdims=True))
+        k_bins, e_pred = energy_spectrum(pred_fluct)
+        _, e_ref = energy_spectrum(ref_fluct)
+        plot_energy_spectrum(
+            out_dir, np.asarray(k_bins), np.asarray(e_pred), np.asarray(e_ref)
+        )
+        plot_reliability(
+            out_dir, np.asarray(_COVERAGE_LEVELS), np.asarray(coverage)
+        )
+        calib = {
+            "crps_mean": float(np.mean(np.asarray(crps))),
+            "coverage": {
+                f"{q:.2f}": float(c)
+                for q, c in zip(_COVERAGE_LEVELS, np.asarray(coverage))
+            },
+            "spectrum_rel_l2": float(
+                relative_l2(jnp.log(e_pred[1:] + 1e-20), jnp.log(e_ref[1:] + 1e-20))
+            ),
+            "calibration_steps": t_cal,
+        }
     # Figure matches the metric: averaged over ALL test trajectories.
     plot_tke(
         out_dir,
@@ -88,6 +153,7 @@ def main(argv=None) -> dict:
         "steps": T,
         "n_samples": cfg.eval.n_samples,
         "backend": jax.default_backend(),
+        **calib,
     }
     (out_dir / "eval_metrics.json").write_text(json.dumps(metrics, indent=2))
     print(json.dumps(metrics))

@@ -127,6 +127,10 @@ class EvalConfig:
     output_dir: str = "./eval_out"
     # jax.profiler trace directory for the rollout ("" = off).
     trace_dir: str = ""
+    # Exact-calibration horizon: a fields-mode rollout of this many
+    # steps on the first test trajectory feeds ensemble CRPS, interval
+    # coverage, and energy spectra (0 = skip; memory is O(T*N*H*W*C)).
+    calibration_steps: int = 32
 
 
 @dataclass(frozen=True)

@@ -9,6 +9,11 @@ from tpuflow.eval.stats import (
     velocity_moments,
     relative_l2,
     ensemble_stats,
+    energy_spectrum,
+    ensemble_crps,
+    gaussian_crps,
+    ensemble_coverage,
+    gaussian_coverage,
 )
 
 __all__ = [
@@ -19,4 +24,9 @@ __all__ = [
     "velocity_moments",
     "relative_l2",
     "ensemble_stats",
+    "energy_spectrum",
+    "ensemble_crps",
+    "gaussian_crps",
+    "ensemble_coverage",
+    "gaussian_coverage",
 ]

@@ -140,6 +140,55 @@ def plot_profiles(
     return path
 
 
+def plot_energy_spectrum(
+    out_dir: str | pathlib.Path,
+    k: np.ndarray,
+    e_pred: np.ndarray,
+    e_ref: np.ndarray,
+) -> pathlib.Path:
+    """Radial kinetic-energy spectrum, predicted ensemble vs HF
+    reference (log-log) — see ``stats.energy_spectrum``."""
+    out_dir = pathlib.Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    fig, ax = plt.subplots(figsize=(5, 3.6))
+    # k=0 is the (removed) mean mode; start at 1 for log axes.
+    ax.loglog(k[1:], np.maximum(e_ref[1:], 1e-20), "--", label="HF reference")
+    ax.loglog(k[1:], np.maximum(e_pred[1:], 1e-20), label="predicted")
+    ax.set_xlabel("wavenumber k")
+    ax.set_ylabel("E(k)")
+    ax.grid(alpha=0.3, which="both")
+    ax.legend(fontsize=8)
+    path = out_dir / "energy_spectrum.png"
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def plot_reliability(
+    out_dir: str | pathlib.Path,
+    levels: np.ndarray,
+    empirical: np.ndarray,
+    label: str = "ensemble",
+) -> pathlib.Path:
+    """Reliability diagram: empirical coverage of central predictive
+    intervals vs nominal level (diagonal = perfectly calibrated UQ)."""
+    out_dir = pathlib.Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    fig, ax = plt.subplots(figsize=(4, 3.8))
+    ax.plot([0, 1], [0, 1], "k--", alpha=0.5, label="perfect")
+    ax.plot(levels, empirical, "o-", label=label)
+    ax.set_xlabel("nominal coverage")
+    ax.set_ylabel("empirical coverage")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.grid(alpha=0.3)
+    ax.legend(fontsize=8)
+    path = out_dir / "reliability.png"
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def plot_nll_curve(
     out_dir: str | pathlib.Path, bpd_per_step: np.ndarray
 ) -> pathlib.Path:

@@ -1,4 +1,5 @@
-"""Physics statistics: TKE, velocity moments, field error norms.
+"""Physics statistics: TKE, velocity moments, field error norms,
+energy spectra, and UQ calibration scores (CRPS, interval coverage).
 
 Parity: SURVEY.md §2 "Physics statistics" / arXiv:2006.04731 §4
 experiment metrics — turbulent kinetic energy k = 1/2 sum_i var(u_i'),
@@ -15,7 +16,9 @@ convention: [..., 0]=u, 1=v, 2=p.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def tke_field(var_uv: jnp.ndarray) -> jnp.ndarray:
@@ -69,6 +72,124 @@ def relative_l2(pred: jnp.ndarray, ref: jnp.ndarray, axes=None) -> jnp.ndarray:
     num = jnp.sqrt(jnp.sum((pred - ref) ** 2, axis=axes))
     den = jnp.sqrt(jnp.sum(ref**2, axis=axes)) + 1e-12
     return num / den
+
+
+def energy_spectrum(
+    fluct: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Radial kinetic-energy spectrum of 2D velocity fluctuations.
+
+    Parity+: spectral comparison of predicted vs HF turbulence — a
+    standard turbulence diagnostic beyond the reference's TKE/moment
+    set; exposes whether the generative ensemble carries energy at the
+    right spatial scales (resolved vs hallucinated small scales).
+
+    Args:
+      fluct: (..., H, W, Cv) velocity FLUCTUATION components (mean flow
+        removed); leading axes (time/ensemble) are averaged over.
+
+    Returns:
+      (k, E): integer radial wavenumber bins ``k`` (nbins,) with
+      ``nbins = min(H, W) // 2 + 1`` and spectrum ``E`` (nbins,),
+      normalized so that ``sum(E) = 0.5 * <|u'|^2>_grid`` restricted to
+      the isotropically-sampled modes ``|k| <= min(H, W)/2`` (corner
+      modes beyond that radius are discarded, not folded in).
+    """
+    *_, h, w, _c = fluct.shape
+    x = fluct.reshape((-1, h, w, _c))
+    fh = jnp.fft.fft2(x, axes=(1, 2))
+    # Mean power over leading axes, summed over velocity components;
+    # 1/(HW)^2 makes sum-over-modes equal the grid-mean square
+    # (Parseval for the unnormalized FFT).
+    ps = (jnp.abs(fh) ** 2).sum(axis=-1).mean(axis=0) / float(h * w) ** 2
+    ky = np.fft.fftfreq(h) * h
+    kx = np.fft.fftfreq(w) * w
+    kr = np.sqrt(ky[:, None] ** 2 + kx[None, :] ** 2)
+    nbins = min(h, w) // 2 + 1
+    r = np.round(kr).astype(np.int32)
+    bins = np.where(r < nbins, r, nbins)  # overflow bin discarded below
+    seg = jax.ops.segment_sum(
+        ps.ravel(), jnp.asarray(bins.ravel()), num_segments=nbins + 1
+    )
+    return jnp.arange(nbins, dtype=jnp.float32), 0.5 * seg[:nbins]
+
+
+def ensemble_crps(
+    members: jnp.ndarray, ref: jnp.ndarray, axis: int = 0
+) -> jnp.ndarray:
+    """Pointwise CRPS of an ensemble forecast (fair/unbiased estimator).
+
+    Parity+: proper-scoring-rule UQ calibration beyond the reference's
+    variance maps. Uses the sorted O(N log N) identity for the ensemble
+    self-distance term (no N x N pairwise materialization):
+
+        CRPS = mean_i |X_i - y| - sum_{i<j} (X_(j) - X_(i)) / (N(N-1))
+
+    Args:
+      members: ensemble samples with member axis ``axis`` (size N >= 2).
+      ref: reference field, shape = members without the member axis.
+
+    Returns: CRPS field with the member axis reduced (same units as y).
+    """
+    x = jnp.moveaxis(members, axis, 0)
+    n = x.shape[0]
+    t1 = jnp.mean(jnp.abs(x - ref[None]), axis=0)
+    xs = jnp.sort(x, axis=0)
+    i = jnp.arange(1, n + 1, dtype=xs.dtype).reshape((n,) + (1,) * ref.ndim)
+    t2 = jnp.sum((2.0 * i - n - 1.0) * xs, axis=0) / (n * (n - 1))
+    return t1 - t2
+
+
+def gaussian_crps(
+    mean: jnp.ndarray, var: jnp.ndarray, ref: jnp.ndarray
+) -> jnp.ndarray:
+    """Closed-form CRPS under a Gaussian predictive N(mean, var) —
+    computable from the rollout's O(1)-memory two-moment stats (no
+    member fields needed): sigma * (z(2Phi(z)-1) + 2phi(z) - 1/sqrt(pi))."""
+    std = jnp.sqrt(var + 1e-20)
+    z = (ref - mean) / std
+    cdf = jax.scipy.stats.norm.cdf(z)
+    pdf = jax.scipy.stats.norm.pdf(z)
+    return std * (z * (2.0 * cdf - 1.0) + 2.0 * pdf - 1.0 / jnp.sqrt(jnp.pi))
+
+
+def ensemble_coverage(
+    members: jnp.ndarray,
+    ref: jnp.ndarray,
+    levels: tuple[float, ...] = (0.5, 0.8, 0.9, 0.95),
+    axis: int = 0,
+) -> jnp.ndarray:
+    """Empirical coverage of central predictive intervals.
+
+    For each nominal level q, the fraction of points where ``ref``
+    falls inside the ensemble's central q-interval (per-point member
+    quantiles). A calibrated ensemble returns coverage ~= levels (the
+    reliability diagram's y-axis).
+    """
+    x = jnp.moveaxis(members, axis, 0)
+    out = []
+    for q in levels:
+        lo = jnp.quantile(x, (1.0 - q) / 2.0, axis=0)
+        hi = jnp.quantile(x, 1.0 - (1.0 - q) / 2.0, axis=0)
+        out.append(jnp.mean((ref >= lo) & (ref <= hi)))
+    return jnp.stack(out)
+
+
+def gaussian_coverage(
+    mean: jnp.ndarray,
+    var: jnp.ndarray,
+    ref: jnp.ndarray,
+    levels: tuple[float, ...] = (0.5, 0.8, 0.9, 0.95),
+) -> jnp.ndarray:
+    """Coverage under a Gaussian predictive N(mean, var) — the
+    two-moment companion of ``ensemble_coverage`` (works directly on
+    the rollout stats mode's mean/var)."""
+    z = jnp.abs(ref - mean) / jnp.sqrt(var + 1e-20)
+    out = []
+    for q in levels:
+        thresh = jax.scipy.special.ndtri(0.5 + q / 2.0)
+        out.append(jnp.mean(z <= thresh))
+    return jnp.stack(out)
 
 
 def total_variance(mean_t: jnp.ndarray, var_t: jnp.ndarray) -> jnp.ndarray:
