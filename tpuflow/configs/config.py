@@ -82,6 +82,11 @@ class DataConfig:
     # If true, generate a procedural synthetic dataset (no archives
     # needed — SURVEY.md §7 step 4).
     synthetic: bool = True
+    # Training-split loading strategy: "ram" loads the whole archive
+    # (reference behaviour); "stream" serves trajectory batches from a
+    # .tpf store via the native C++ loader with fused normalization
+    # and async prefetch (host RAM O(batch)) — see tpuflow/data/tpf.py.
+    loader: str = "ram"
     seed: int = 0
 
 

@@ -9,5 +9,14 @@ Zenodo archives while matching their tensor contract.
 
 from tpuflow.data.synthetic import generate_case
 from tpuflow.data.dataset import TrajectoryDataset, NormStats, load_dataset
+from tpuflow.data.tpf import TPFStore, PrefetchingWindowLoader, save_tpf
 
-__all__ = ["generate_case", "TrajectoryDataset", "NormStats", "load_dataset"]
+__all__ = [
+    "generate_case",
+    "TrajectoryDataset",
+    "NormStats",
+    "load_dataset",
+    "TPFStore",
+    "PrefetchingWindowLoader",
+    "save_tpf",
+]

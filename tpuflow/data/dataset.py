@@ -121,7 +121,7 @@ class TrajectoryDataset:
 
 
 def load_archive(path: str | pathlib.Path) -> tuple[np.ndarray, np.ndarray]:
-    """Read an (lf, hf) trajectory archive (.h5/.hdf5 or .npz)."""
+    """Read an (lf, hf) trajectory archive (.h5/.hdf5, .npz or .tpf)."""
     path = pathlib.Path(path)
     if path.suffix in (".h5", ".hdf5"):
         import h5py
@@ -131,7 +131,15 @@ def load_archive(path: str | pathlib.Path) -> tuple[np.ndarray, np.ndarray]:
     if path.suffix == ".npz":
         with np.load(path) as f:
             return f["lf"], f["hf"]
-    raise ValueError(f"unsupported archive {path} (want .h5/.hdf5/.npz)")
+    if path.suffix == ".tpf":
+        from tpuflow.data.tpf import TPFStore
+
+        with TPFStore(path) as store:
+            return (
+                store.read_batch("lf", np.arange(store.n_traj), 0, store.n_steps),
+                store.read_batch("hf", np.arange(store.n_traj), 0, store.n_steps),
+            )
+    raise ValueError(f"unsupported archive {path} (want .h5/.hdf5/.npz/.tpf)")
 
 
 def save_archive(path: str | pathlib.Path, lf: np.ndarray, hf: np.ndarray) -> None:
@@ -147,7 +155,12 @@ def save_archive(path: str | pathlib.Path, lf: np.ndarray, hf: np.ndarray) -> No
     if path.suffix == ".npz":
         np.savez_compressed(path, lf=lf, hf=hf)
         return
-    raise ValueError(f"unsupported archive {path} (want .h5/.hdf5/.npz)")
+    if path.suffix == ".tpf":
+        from tpuflow.data.tpf import save_tpf
+
+        save_tpf(path, lf, hf)
+        return
+    raise ValueError(f"unsupported archive {path} (want .h5/.hdf5/.npz/.tpf)")
 
 
 def load_dataset(
@@ -184,6 +197,18 @@ def load_dataset(
         return TrajectoryDataset(lf, hf, norm=norm)
 
     root = pathlib.Path(data_cfg.data_dir)
+    if data_cfg.loader == "stream" and split == "train":
+        from tpuflow.data.tpf import StreamingTrajectoryDataset, TPFStore
+
+        path = _find_archive(root, data_cfg.case, "train")
+        if path.suffix != ".tpf":
+            raise ValueError(
+                f"data.loader=stream needs a .tpf store, found {path}; "
+                "convert with python -m tpuflow.tools.convert_tpf"
+            )
+        return StreamingTrajectoryDataset(TPFStore(path), norm=norm)
+    if data_cfg.loader not in ("ram", "stream"):
+        raise ValueError(f"unknown data.loader {data_cfg.loader!r}")
     if norm is None:
         lf_tr, hf_tr = load_archive(_find_archive(root, data_cfg.case, "train"))
         norm = NormStats.from_data(lf_tr, hf_tr)
@@ -194,11 +219,11 @@ def load_dataset(
 
 
 def _find_archive(root: pathlib.Path, case: str, split: str) -> pathlib.Path:
-    for suffix in (".h5", ".hdf5", ".npz"):
+    for suffix in (".h5", ".hdf5", ".npz", ".tpf"):
         p = root / f"{case}_{split}{suffix}"
         if p.exists():
             return p
     raise FileNotFoundError(
-        f"no archive {root}/{case}_{split}.(h5|hdf5|npz); "
+        f"no archive {root}/{case}_{split}.(h5|hdf5|npz|tpf); "
         "set data.synthetic=true for the procedural fixture"
     )
