@@ -56,11 +56,26 @@ def test_cli_train_rollout_evaluate_pipeline(tmp_path):
     saved = json.loads((out_dir / "rollout_metrics.json").read_text())
     assert saved["steps"] == 8
 
-    emetrics = evaluate_main(_overrides(tmp_path))
+    emetrics = evaluate_main(_overrides(tmp_path) + ["eval.calibration_steps=4"])
     assert np.isfinite(emetrics["test_bpd"])
     assert np.isfinite(emetrics["tke_rel_l2_mean"])
+    assert np.isfinite(emetrics["crps_mean"])
+    assert 0.0 <= emetrics["coverage"]["0.90"] <= 1.0
     assert (out_dir / "nll_curve.png").exists()
     assert (out_dir / "eval_metrics.json").exists()
+    assert (out_dir / "reliability.png").exists()
+    assert (out_dir / "energy_spectrum.png").exists()
+
+    # Temperature study off the same checkpoint: one compiled rollout
+    # swept over tau (traced argument — no retrace per value).
+    from tpuflow.tools.sweep_temperature import main as sweep_main
+
+    rows = sweep_main(_overrides(tmp_path) + ["temperatures=0.5,1.0"])
+    assert [r["temperature"] for r in rows] == [0.5, 1.0]
+    assert all(np.isfinite(r["gaussian_crps"]) for r in rows)
+    # Higher tau -> wider ensemble spread (monotone by construction).
+    assert rows[1]["ensemble_std"] > rows[0]["ensemble_std"]
+    assert (out_dir / "temperature_sweep.png").exists()
 
 
 def test_cli_cylinder_case(tmp_path):

@@ -69,7 +69,9 @@ def make_ensemble_rollout(
 
         member_sharding = ensemble_sharding(mesh)
 
-    def rollout(variables, lf_traj, rng):
+    def rollout(variables, lf_traj, rng, temperature=temperature):
+        # temperature is a runtime (traced) argument so sweeps over tau
+        # (the paper's temperature study) reuse one compilation.
         from tpuflow.models.tmglow import build_inv_caches
 
         states = init_lstm_state(cfg, (n_samples,))

@@ -1,0 +1,125 @@
+"""Sampling-temperature (tau) study: metrics vs temperature.
+
+Parity+: arXiv:2006.04731 §4 selects tau = 0.7 by studying how the
+sampling temperature trades sample diversity against accuracy; this
+tool reproduces that study for any checkpoint — one compiled rollout
+(temperature is a traced argument), swept over a tau grid, reporting
+per-tau field error, TKE error, Gaussian CRPS, and ensemble spread,
+with a summary figure.
+
+Usage:
+  python -m tpuflow.tools.sweep_temperature <case> \
+      [temperatures=0.3,0.5,0.7,0.9,1.0] [key=value ...]
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sweep(cfg, temperatures) -> list[dict]:
+    """Run the study for one case config; returns per-tau metric rows."""
+    from tpuflow.data.dataset import load_dataset
+    from tpuflow.eval.loading import load_eval_bundle
+    from tpuflow.eval.rollout import make_ensemble_rollout
+    from tpuflow.eval.stats import (
+        gaussian_crps,
+        relative_l2,
+        tke_field,
+        total_variance,
+    )
+
+    model, variables, norm = load_eval_bundle(cfg)
+    ds = load_dataset(cfg.data, cfg.model, "test", norm=norm)
+    T = min(cfg.eval.rollout_steps, ds.n_steps)
+    rollout = jax.jit(
+        make_ensemble_rollout(
+            model, cfg.eval.n_samples, collect="stats"
+        )
+    )
+    rows = []
+    for tau in temperatures:
+        tke_errs, field_errs, crps_vals, spreads = [], [], [], []
+        for i in range(ds.n_traj):
+            out = rollout(
+                variables,
+                jnp.asarray(ds.lf[i, :T]),
+                jax.random.PRNGKey(i),
+                jnp.float32(tau),
+            )
+            mean = jnp.asarray(ds.denorm_hf(np.asarray(out["mean"])))
+            var = jnp.asarray(ds.denorm_hf_var(np.asarray(out["var"])))
+            hf = jnp.asarray(ds.denorm_hf(ds.hf[i, :T]))
+            tke_errs.append(
+                float(
+                    relative_l2(
+                        tke_field(total_variance(mean, var)),
+                        tke_field(hf.var(axis=0)),
+                    )
+                )
+            )
+            field_errs.append(float(relative_l2(mean, hf)))
+            crps_vals.append(float(jnp.mean(gaussian_crps(mean, var, hf))))
+            spreads.append(float(jnp.sqrt(var).mean()))
+        rows.append(
+            {
+                "temperature": float(tau),
+                "field_rel_l2": float(np.mean(field_errs)),
+                "tke_rel_l2": float(np.mean(tke_errs)),
+                "gaussian_crps": float(np.mean(crps_vals)),
+                "ensemble_std": float(np.mean(spreads)),
+            }
+        )
+    return rows
+
+
+def plot_sweep(out_dir, rows) -> pathlib.Path:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    out_dir = pathlib.Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    taus = [r["temperature"] for r in rows]
+    fig, axes = plt.subplots(1, 3, figsize=(12, 3.2))
+    for ax, key in zip(
+        axes, ("field_rel_l2", "tke_rel_l2", "gaussian_crps")
+    ):
+        ax.plot(taus, [r[key] for r in rows], "o-")
+        ax.set_xlabel("temperature tau")
+        ax.set_ylabel(key)
+        ax.grid(alpha=0.3)
+    path = out_dir / "temperature_sweep.png"
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def main(argv=None) -> list[dict]:
+    from tpuflow.cli import parse_args
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    taus = (0.3, 0.5, 0.7, 0.9, 1.0)
+    for a in list(argv):
+        if a.startswith("temperatures="):
+            taus = tuple(float(x) for x in a.split("=", 1)[1].split(","))
+            argv.remove(a)
+    cfg = parse_args(argv)
+    rows = sweep(cfg, taus)
+    out_dir = pathlib.Path(cfg.eval.output_dir) / cfg.name
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "temperature_sweep.json").write_text(json.dumps(rows, indent=2))
+    plot_sweep(out_dir, rows)
+    print(json.dumps(rows))
+    return rows
+
+
+if __name__ == "__main__":
+    main()
