@@ -188,3 +188,86 @@ def test_train_with_streaming_loader(arrays, tmp_path):
     ])
     assert np.isfinite(metrics["mean_bpd"])
     assert metrics["epoch"] == 1
+
+
+def test_ticket_double_wait_and_abandoned_generator(arrays, store_path):
+    """wait() is idempotent; dropping a prefetching generator mid-epoch
+    (in-flight tickets abandoned) then closing the store is safe."""
+    lf, _ = arrays
+    with TPFStore(store_path) as s:
+        t = s.read_batch_async("lf", [0], 0, 4)
+        a = t.wait()
+        b = t.wait()  # second wait must not deadlock
+        assert a is b
+        from tpuflow.data.tpf import StreamingTrajectoryDataset
+        from tpuflow.data import NormStats
+
+        ds = StreamingTrajectoryDataset(s, norm=NormStats.from_data(*arrays))
+        gen = ds.traj_batches(0, 2)
+        next(gen)  # leaves the prefetched next batch in flight
+        del gen    # abandoned generator must not free in-flight buffers
+    # store closed with pending drained; a fresh read still works
+    with TPFStore(store_path) as s2:
+        np.testing.assert_array_equal(
+            s2.read_batch("lf", [1], 0, 3)[0], lf[1, :3]
+        )
+
+
+def test_stream_loader_finds_tpf_next_to_h5(arrays, tmp_path):
+    """data.loader=stream must pick up the .tpf even when the source
+    .h5 archive is still in the same directory (documented workflow)."""
+    from tpuflow.configs.config import load_case
+    from tpuflow.data.dataset import load_dataset, save_archive
+    from tpuflow.data.tpf import StreamingTrajectoryDataset
+
+    lf, hf = arrays
+    data_dir = tmp_path / "d"
+    save_archive(data_dir / "backward-step_train.h5", lf, hf)
+    save_tpf(data_dir / "backward-step_train.tpf", lf, hf)
+    cfg = load_case("backward-step", {
+        "data.synthetic": False, "data.loader": "stream",
+        "data.data_dir": str(data_dir),
+    })
+    ds = load_dataset(cfg.data, cfg.model, "train")
+    assert isinstance(ds, StreamingTrajectoryDataset)
+    # Missing .tpf gives an actionable error even though .h5 exists.
+    (data_dir / "backward-step_train.tpf").unlink()
+    with pytest.raises(FileNotFoundError, match="convert_tpf"):
+        load_dataset(cfg.data, cfg.model, "train")
+
+
+def test_streaming_norm_lazy_and_assignable(arrays, store_path, monkeypatch):
+    """Assigning norm (trainer resume path) must skip the O(dataset)
+    normalization sweep entirely."""
+    import tpuflow.data.tpf as tpf_mod
+    from tpuflow.data import NormStats
+
+    def boom(store, chunk=4):
+        raise AssertionError("norm sweep must not run")
+
+    monkeypatch.setattr(tpf_mod, "compute_norm_streaming", boom)
+    with TPFStore(store_path) as s:
+        ds = tpf_mod.StreamingTrajectoryDataset(s)
+        ds.norm = NormStats.from_data(*arrays)
+        next(ds.traj_batches(0, 2))  # works without any sweep
+
+
+def test_window_loader_keeps_remainder(arrays, store_path):
+    from tpuflow.data import NormStats
+
+    lf, hf = arrays
+    norm = NormStats.from_data(lf, hf)
+    with TPFStore(store_path) as s:
+        keep = PrefetchingWindowLoader(s, 4, 2, norm, drop_remainder=False)
+        drop = PrefetchingWindowLoader(s, 4, 2, norm, drop_remainder=True)
+        n_keep = sum(b[0].shape[0] for b in keep.epoch(0) if b[2])
+        n_drop = sum(b[0].shape[0] for b in drop.epoch(0) if b[2])
+        assert n_keep == N and n_drop == (N // 2) * 2
+
+
+def test_ensemble_crps_rejects_single_member():
+    from tpuflow.eval import ensemble_crps
+    import jax.numpy as jnp
+
+    with pytest.raises(ValueError, match=">= 2 members"):
+        ensemble_crps(jnp.zeros((1, 4)), jnp.zeros((4,)))

@@ -92,7 +92,8 @@ def main(argv=None) -> dict:
     # coverage, and the radial energy spectrum, all in physical units.
     calib: dict[str, float] = {}
     t_cal = min(cfg.eval.calibration_steps, T)
-    if t_cal > 0:
+    # Ensemble CRPS/coverage are undefined for a single member.
+    if t_cal > 0 and cfg.eval.n_samples >= 2:
         fields_rollout = jax.jit(
             make_ensemble_rollout(
                 model, cfg.eval.n_samples, cfg.eval.temperature,

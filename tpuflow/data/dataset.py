@@ -200,11 +200,13 @@ def load_dataset(
     if data_cfg.loader == "stream" and split == "train":
         from tpuflow.data.tpf import StreamingTrajectoryDataset, TPFStore
 
-        path = _find_archive(root, data_cfg.case, "train")
-        if path.suffix != ".tpf":
-            raise ValueError(
-                f"data.loader=stream needs a .tpf store, found {path}; "
-                "convert with python -m tpuflow.tools.convert_tpf"
+        # Look up the .tpf store directly: the source .h5 it was
+        # converted from may legitimately sit in the same directory.
+        path = root / f"{data_cfg.case}_train.tpf"
+        if not path.exists():
+            raise FileNotFoundError(
+                f"data.loader=stream needs {path}; convert an archive "
+                "with python -m tpuflow.tools.convert_tpf"
             )
         return StreamingTrajectoryDataset(TPFStore(path), norm=norm)
     if data_cfg.loader not in ("ram", "stream"):

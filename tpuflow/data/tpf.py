@@ -27,12 +27,15 @@ from __future__ import annotations
 
 import ctypes
 import json
+import os
 import pathlib
 import subprocess
 import tempfile
 import threading
 
 import numpy as np
+
+from tpuflow.data.dataset import NormStats, TrajectoryDataset
 
 _MAGIC = b"TPF1"
 _ALIGN = 4096
@@ -90,16 +93,28 @@ def _build_lib() -> ctypes.CDLL | None:
         if _lib is not None or _lib_failed:
             return _lib
         src = pathlib.Path(__file__).parent.parent / "native" / "loader.cpp"
-        cache = pathlib.Path(tempfile.gettempdir()) / "tpuflow_native"
-        cache.mkdir(parents=True, exist_ok=True)
+        # Per-user cache (a fixed world-writable /tmp path would let
+        # another user plant a .so that CDLL then executes); compile to
+        # a unique temp name and rename so racing processes never load
+        # a half-written library.
+        cache = (
+            pathlib.Path(os.environ.get("XDG_CACHE_HOME", pathlib.Path.home() / ".cache"))
+            / "tpuflow" / "native"
+        )
         so = cache / "_tpfloader.so"
         try:
+            cache.mkdir(parents=True, exist_ok=True)
             if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+                with tempfile.NamedTemporaryFile(
+                    dir=cache, suffix=".so", delete=False
+                ) as tmp:
+                    tmp_path = pathlib.Path(tmp.name)
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                     "-o", str(so), str(src), "-lpthread"],
+                     "-o", str(tmp_path), str(src), "-lpthread"],
                     check=True, capture_output=True, text=True,
                 )
+                tmp_path.replace(so)
             lib = ctypes.CDLL(str(so))
         except (OSError, subprocess.CalledProcessError):
             _lib_failed = True
@@ -136,18 +151,35 @@ def _f32p(a: np.ndarray | None):
 
 class _Ticket:
     """Pending async gather; keeps every buffer the C side touches
-    alive until wait() returns."""
+    alive until the gather completes.
 
-    def __init__(self, lib, tid, status, keepalive, out):
+    wait() is idempotent (the C-side Pool::wait consumes its completion
+    entry, so only the first call crosses the ABI). __del__ waits too:
+    an abandoned ticket (e.g. a prefetching generator that is dropped
+    mid-epoch) must NOT free its numpy output buffer while the worker
+    thread is still writing into it."""
+
+    def __init__(self, lib, tid, status, keepalive, out, store=None):
         self._lib, self._tid, self._status = lib, tid, status
         self._keepalive, self.out = keepalive, out
+        self._store = store
+        self._done = lib is None
 
     def wait(self) -> np.ndarray:
-        if self._lib is not None:
+        if not self._done:
+            self._done = True
+            if self._store is not None:
+                self._store._pending.discard(self)
             self._lib.tpf_wait(self._tid)
             if self._status.value != 0:
                 raise IOError("native gather failed")
         return self.out
+
+    def __del__(self):
+        try:
+            self.wait()
+        except Exception:
+            pass
 
 
 class TPFStore:
@@ -159,6 +191,7 @@ class TPFStore:
 
     def __init__(self, path: str | pathlib.Path, use_native: bool = True):
         self.path = pathlib.Path(path)
+        self._pending: set = set()  # in-flight tickets (drained on close)
         head = _read_header(self.path)
         self.lf_shape = tuple(head["lf_shape"])
         self.hf_shape = tuple(head["hf_shape"])
@@ -194,9 +227,22 @@ class TPFStore:
         return self.lf_shape[1]
 
     def close(self) -> None:
+        # Drain in-flight gathers first: tpf_close frees the C-side
+        # Store while a worker could still be pread()ing from it.
+        for t in list(self._pending):
+            try:
+                t.wait()
+            except IOError:
+                pass
         if self._lib is not None and self._handle:
             self._lib.tpf_close(self._handle)
             self._handle = 0
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __enter__(self):
         return self
@@ -255,7 +301,9 @@ class TPFStore:
             len(ids), t0, t1, _f32p(mean), _f32p(inv), _f32p(out),
             ctypes.byref(status),
         )
-        return _Ticket(self._lib, tid, status, (ids, mean, inv), out)
+        ticket = _Ticket(self._lib, tid, status, (ids, mean, inv), out, self)
+        self._pending.add(ticket)
+        return ticket
 
 
 class PrefetchingWindowLoader:
@@ -284,11 +332,13 @@ class PrefetchingWindowLoader:
             )
         self.store, self.window, self.batch_size = store, window, batch_size
         self.norm = norm
+        self.drop_remainder = drop_remainder
 
     def _schedule(self, seed: int):
         order = np.random.default_rng(seed).permutation(self.store.n_traj)
         t = self.store.n_steps
-        for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
+        stop = len(order) - (self.batch_size - 1 if self.drop_remainder else 0)
+        for i in range(0, stop, self.batch_size):
             ids = order[i : i + self.batch_size]
             for w0 in range(0, t - self.window + 1, self.window):
                 yield ids, w0, w0 == 0
@@ -319,12 +369,10 @@ class PrefetchingWindowLoader:
             yield lf_t.wait(), hf_t.wait(), first
 
 
-def compute_norm_streaming(store: TPFStore, chunk: int = 4) -> "NormStats":
+def compute_norm_streaming(store: TPFStore, chunk: int = 4) -> NormStats:
     """Per-channel NormStats over a store without loading it into RAM
     (chunked f64 moment accumulation; matches NormStats.from_data to
     float precision, including its +1e-8 std floor)."""
-    from tpuflow.data.dataset import NormStats
-
     sums = {}
     for which, c in (("lf", store.lf_shape[4]), ("hf", store.hf_shape[4])):
         s = np.zeros(c, np.float64)
@@ -361,11 +409,23 @@ class StreamingTrajectoryDataset:
     paths want whole in-RAM splits (use TrajectoryDataset there).
     """
 
-    def __init__(self, store: TPFStore, norm: "NormStats | None" = None):
+    def __init__(self, store: TPFStore, norm: NormStats | None = None):
         self.store = store
-        from tpuflow.data.dataset import NormStats  # noqa: F401
+        self._norm = norm
 
-        self.norm = norm or compute_norm_streaming(store)
+    @property
+    def norm(self) -> NormStats:
+        """Normalization constants — computed lazily (one full streamed
+        pass) only if none were provided or assigned. The trainer
+        assigns the checkpointed constants on resume BEFORE any batch
+        is drawn, so a resumed run never pays the O(dataset) sweep."""
+        if self._norm is None:
+            self._norm = compute_norm_streaming(self.store)
+        return self._norm
+
+    @norm.setter
+    def norm(self, value: NormStats) -> None:
+        self._norm = value
 
     @property
     def n_traj(self) -> int:
@@ -418,13 +478,5 @@ class StreamingTrajectoryDataset:
         if pending is not None:
             yield pending[0].wait(), pending[1].wait()
 
-    windows = None  # assigned below (shared implementation)
-
-
-def _bind_windows():
-    from tpuflow.data.dataset import TrajectoryDataset
-
-    StreamingTrajectoryDataset.windows = staticmethod(TrajectoryDataset.windows)
-
-
-_bind_windows()
+    # Shared BPTT window slicer (identical semantics to the RAM path).
+    windows = staticmethod(TrajectoryDataset.windows)

@@ -133,6 +133,11 @@ def ensemble_crps(
     """
     x = jnp.moveaxis(members, axis, 0)
     n = x.shape[0]
+    if n < 2:
+        raise ValueError(
+            f"ensemble_crps needs >= 2 members (got {n}); the pairwise "
+            "self-distance term is undefined for a single sample"
+        )
     t1 = jnp.mean(jnp.abs(x - ref[None]), axis=0)
     xs = jnp.sort(x, axis=0)
     i = jnp.arange(1, n + 1, dtype=xs.dtype).reshape((n,) + (1,) * ref.ndim)

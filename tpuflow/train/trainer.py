@@ -108,22 +108,29 @@ class Trainer:
 
     def _abstract_state(self):
         """Shape-only image of the checkpointed state pytree (via
-        eval_shape: no FLOPs, no device memory) so Orbax can
-        reconstruct custom nodes (optax NamedTuples) on restore."""
+        eval_shape: no FLOPs, no device memory, and — deliberately —
+        no data access: a streaming dataset must not pay its
+        normalization sweep just to restore a checkpoint that already
+        stores the constants) so Orbax can reconstruct custom nodes
+        (optax NamedTuples) on restore."""
         cfg = self.cfg
         b = cfg.data.batch_size
-        lf_b, hf_b = next(self.dataset.traj_batches(cfg.data.seed, b))
+        c = cfg.model.channels
+        hf_s = jax.ShapeDtypeStruct((b, *cfg.model.hf_shape, c), jnp.float32)
+        lf_s = jax.ShapeDtypeStruct((b, *cfg.model.lf_shape, c), jnp.float32)
         state = init_lstm_state(cfg.model, (b,))
         variables = jax.eval_shape(
             lambda h, l, s: self.model.init(jax.random.PRNGKey(0), h, l, s),
-            jnp.asarray(hf_b[:, 0]), jnp.asarray(lf_b[:, 0]), state,
+            hf_s, lf_s, state,
         )
         opt_shape = jax.eval_shape(self.optimizer.init, variables["params"])
+        norm_s = jax.ShapeDtypeStruct((c,), jnp.float32)
         return {
             "params": variables["params"],
             "buffers": variables.get("buffers", {}),
             "opt_state": opt_shape,
-            "norm": jax.eval_shape(lambda: self.dataset.norm.to_dict()),
+            "norm": {k: norm_s for k in
+                     ("lf_mean", "lf_std", "hf_mean", "hf_std")},
         }
 
     def init_or_resume(self) -> None:
@@ -137,6 +144,15 @@ class Trainer:
             self.opt_state = state["opt_state"]
             self.epoch = int(meta["epoch"])
             self.global_step = int(meta["global_step"])
+            from tpuflow.data.dataset import NormStats
+            from tpuflow.data.tpf import StreamingTrajectoryDataset
+
+            if isinstance(self.dataset, StreamingTrajectoryDataset):
+                # Checkpointed constants are authoritative AND spare the
+                # streaming path its full-dataset normalization sweep.
+                self.dataset.norm = NormStats.from_dict(
+                    {k: np.asarray(v) for k, v in state["norm"].items()}
+                )
             print(f"resumed from epoch {self.epoch} (step {self.global_step})")
         else:
             self._fresh_init()
