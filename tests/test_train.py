@@ -196,3 +196,32 @@ def test_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(
         float(jax.tree.leaves(tr2.params)[0].sum()), bpd_ref, rtol=1e-6
     )
+
+
+def test_remat_matches_no_remat():
+    """remat is pure recompute: one train step with remat on and off
+    must produce identical params/metrics (the default flipped to
+    remat=false for throughput — this guards the equivalence)."""
+    model = TMGlow(MC)
+    lf, hf = generate_case("backward-step", 2, 3, MC.hf_shape, MC.lf_shape, 5)
+    lf_w, hf_w = jnp.asarray(lf), jnp.asarray(hf)
+    state = init_lstm_state(MC, (2,))
+    variables = model.init(
+        jax.random.PRNGKey(0), hf_w[:, 0], lf_w[:, 0], state
+    )
+    opt = make_optimizer(1e-3, 0.99, 1.0)
+    opt_state = opt.init(variables["params"])
+    outs = []
+    for remat in (True, False):
+        step = jax.jit(make_train_step(model, opt, remat=remat))
+        p, _, _, m = step(
+            jax.tree.map(jnp.copy, variables["params"]),
+            variables.get("buffers", {}),
+            jax.tree.map(jnp.copy, opt_state),
+            lf_w, hf_w, state,
+        )
+        outs.append((p, m))
+    (p1, m1), (p2, m2) = outs
+    assert np.allclose(float(m1["bpd"]), float(m2["bpd"]), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

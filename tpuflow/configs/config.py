@@ -98,8 +98,13 @@ class TrainConfig:
     weight_decay: float = 0.0
     grad_clip: float = 10.0
     # Rematerialize per-timestep activations inside the BPTT window to
-    # bound HBM (SURVEY.md §7 hard part 3).
-    remat: bool = True
+    # bound HBM (SURVEY.md §7 hard part 3). Default off by measurement:
+    # at the production configs (batch 8 x window 8, 64x128 grid) the
+    # window's activations fit v5e HBM comfortably and remat's forward
+    # recompute cost ~3.3x training wall time (1.4 -> 4.75 windows/s
+    # measured on-chip) plus minutes of extra XLA compile. Re-enable
+    # for configs whose window activations exceed HBM.
+    remat: bool = False
     # Scan all BPTT windows of a trajectory batch inside one jit (one
     # dispatch per batch instead of per window — identical update
     # sequence, higher throughput). Disable for per-window logging.
