@@ -62,15 +62,20 @@ def main(argv=None) -> dict:
             collect="stats", mesh=mesh,
         )
     )
-    # Compile once, then time the real run.
-    out = rollout(variables, jnp.asarray(lf_traj), jax.random.PRNGKey(0))
-    jax.block_until_ready(out)
+    # Compile once, then time the real run. The warmup must force TRUE
+    # completion with a 1-element host transfer: block_until_ready can
+    # return early through tunneled backends, which silently shifts the
+    # (async) compile into the timed region (measured 0.2-17 "steps/s"
+    # for a 108-steps/s rollout before this fix).
+    lf_dev = jnp.asarray(lf_traj)
+    out = rollout(variables, lf_dev, jax.random.PRNGKey(0))
+    np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
     metrics: dict = {}
     from tpuflow.utils.profiling import trace_context
 
     with trace_context(cfg.eval.trace_dir or None):
         with step_timer(metrics, "rollout_steps_per_sec", n_items=T) as sync:
-            out = rollout(variables, jnp.asarray(lf_traj), jax.random.PRNGKey(1))
+            out = rollout(variables, lf_dev, jax.random.PRNGKey(1))
             sync.append(out)
 
     out_dir = pathlib.Path(cfg.eval.output_dir) / cfg.name
