@@ -225,3 +225,23 @@ def test_remat_matches_no_remat():
     assert np.allclose(float(m1["bpd"]), float(m2["bpd"]), atol=1e-6)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_device_resident_matches_host_upload(tmp_path):
+    """The device-resident gather path trains bit-identically to the
+    per-batch host-upload path (same shuffle, same updates)."""
+    results = {}
+    for resident in (True, False):
+        cfg = _tiny_cfg(tmp_path / f"r{resident}")
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, device_resident=resident)
+        )
+        tr = Trainer(cfg, logger=MetricsLogger(quiet=True))
+        assert tr._resident == resident
+        tr.init_or_resume()
+        out = tr.run(epochs=2)
+        results[resident] = (out, tr.params)
+    (m1, p1), (m2, p2) = results[True], results[False]
+    assert np.isclose(m1["mean_bpd"], m2["mean_bpd"], atol=1e-6), (m1, m2)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -87,6 +87,14 @@ class DataConfig:
     # .tpf store via the native C++ loader with fused normalization
     # and async prefetch (host RAM O(batch)) — see tpuflow/data/tpf.py.
     loader: str = "ram"
+    # Keep the whole (RAM-loaded) training split resident on device and
+    # gather batches on-device by index: replaces per-batch
+    # host->device uploads with a B*8-byte index transfer (measured
+    # 4.5 -> 13.0 windows/s on v5e via tunnel — near the ~14.5
+    # device-bound ceiling). Auto-disabled for streaming datasets or
+    # when the split exceeds device_resident_max_gb per device.
+    device_resident: bool = True
+    device_resident_max_gb: float = 4.0
     seed: int = 0
 
 

@@ -92,13 +92,10 @@ class TrajectoryDataset:
         """Normalized LF FIELD -> physical units (affine)."""
         return x * self.norm.lf_std + self.norm.lf_mean
 
-    def traj_batches(self, seed: int, batch_size: int, drop_remainder: bool = True):
-        """Yield (lf, hf) trajectory batches (B, T, ...), shuffled.
-
-        Batches are whole trajectories; the caller slices consecutive
-        BPTT windows from them so recurrent state can carry across
-        windows within a batch (SURVEY.md §3.1 hot loop).
-        """
+    def batch_indices(self, seed: int, batch_size: int, drop_remainder: bool = True):
+        """Yield shuffled trajectory-index batches — the single source
+        of truth for epoch order (shared by the host-upload path, the
+        device-resident gather path, and tests asserting determinism)."""
         if drop_remainder and self.n_traj < batch_size:
             raise ValueError(
                 f"batch_size={batch_size} exceeds the dataset's "
@@ -106,7 +103,16 @@ class TrajectoryDataset:
             )
         order = np.random.default_rng(seed).permutation(self.n_traj)
         for i in range(0, len(order) - (batch_size - 1 if drop_remainder else 0), batch_size):
-            idx = order[i : i + batch_size]
+            yield order[i : i + batch_size]
+
+    def traj_batches(self, seed: int, batch_size: int, drop_remainder: bool = True):
+        """Yield (lf, hf) trajectory batches (B, T, ...), shuffled.
+
+        Batches are whole trajectories; the caller slices consecutive
+        BPTT windows from them so recurrent state can carry across
+        windows within a batch (SURVEY.md §3.1 hot loop).
+        """
+        for idx in self.batch_indices(seed, batch_size, drop_remainder):
             yield self.lf[idx], self.hf[idx]
 
     @staticmethod

@@ -154,6 +154,40 @@ def make_trajectory_train_step(
     return trajectory_step
 
 
+def make_resident_trajectory_train_step(
+    model: TMGlow,
+    optimizer: optax.GradientTransformation,
+    window: int,
+    remat: bool = False,
+    batch_sharding=None,
+) -> Callable[..., tuple[Any, Any, dict[str, jax.Array]]]:
+    """Device-resident variant of the trajectory train step:
+
+    (params, buffers, opt_state, lf_all, hf_all, idx)
+      -> (params, opt_state, metrics)
+
+    ``lf_all``/``hf_all`` are the WHOLE training split, uploaded to the
+    device(s) once; each call gathers its trajectory batch on-device
+    from an (B,) index vector. Rationale (measured on v5e via tunnel):
+    the fused step runs ~550 ms device time per trajectory batch while
+    re-uploading the ~53 MB batch from host dominated wall time — the
+    resident gather replaces per-batch host->device traffic with a
+    B*8-byte index upload. Semantics identical to
+    ``make_trajectory_train_step`` on the gathered batch.
+    """
+    base = make_trajectory_train_step(model, optimizer, window, remat=remat)
+
+    def resident_step(params, buffers, opt_state, lf_all, hf_all, idx):
+        lf_traj = jnp.take(lf_all, idx, axis=0)
+        hf_traj = jnp.take(hf_all, idx, axis=0)
+        if batch_sharding is not None:
+            lf_traj = jax.lax.with_sharding_constraint(lf_traj, batch_sharding)
+            hf_traj = jax.lax.with_sharding_constraint(hf_traj, batch_sharding)
+        return base(params, buffers, opt_state, lf_traj, hf_traj)
+
+    return resident_step
+
+
 def _zero_state(cfg, batch_shape):
     from tpuflow.models.tmglow import init_lstm_state
 

@@ -35,6 +35,7 @@ from tpuflow.train.mesh import (
 )
 from tpuflow.train.step import (
     make_optimizer,
+    make_resident_trajectory_train_step,
     make_train_step,
     make_trajectory_train_step,
 )
@@ -97,6 +98,25 @@ class Trainer:
             ),
             donate_argnums=(0, 2),  # params, opt_state
         )
+        # Device-resident fast path: whole split on device, batches
+        # gathered by index (see make_resident_trajectory_train_step).
+        self._resident = (
+            cfg.data.device_resident
+            and cfg.train.fused_windows
+            and isinstance(self.dataset, TrajectoryDataset)
+            and (self.dataset.lf.nbytes + self.dataset.hf.nbytes)
+            <= cfg.data.device_resident_max_gb * 2**30
+        )
+        if self._resident:
+            self._resident_step = jax.jit(
+                make_resident_trajectory_train_step(
+                    self.model, self.optimizer, cfg.data.window,
+                    remat=cfg.train.remat,
+                    batch_sharding=data_sharding(self.mesh),
+                ),
+                donate_argnums=(0, 2),  # params, opt_state (NOT the data)
+            )
+            self._lf_all = self._hf_all = None  # uploaded lazily once
         # Populated by init_or_resume().
         self.params = None
         self.buffers = None
@@ -214,8 +234,41 @@ class Trainer:
             # serialize host->device transfer with compute (async
             # dispatch lets the next batch upload while this one runs).
             pending: list = []
-            for lf_traj, hf_traj in self.dataset.traj_batches(
-                cfg.data.seed + self.epoch, b
+            if self._resident:
+                if self._lf_all is None:
+                    # One-time upload of the whole split, replicated
+                    # across the mesh (size-guarded in __init__).
+                    rep = replicated_sharding(self.mesh)
+                    self._lf_all = jax.device_put(self.dataset.lf, rep)
+                    self._hf_all = jax.device_put(self.dataset.hf, rep)
+                n_win_per = self.dataset.n_steps // window
+                for idx in self.dataset.batch_indices(
+                    cfg.data.seed + self.epoch, b
+                ):
+                    (self.params, self.opt_state, metrics) = (
+                        self._resident_step(
+                            self.params, self.buffers, self.opt_state,
+                            self._lf_all, self._hf_all, jnp.asarray(idx),
+                        )
+                    )
+                    self.global_step += n_win_per
+                    pending.append((n_win_per, metrics))
+                    n_windows += n_win_per
+                    if (
+                        self.global_step // cfg.train.log_every
+                        != (self.global_step - n_win_per)
+                        // cfg.train.log_every
+                    ):
+                        self.logger.log(
+                            self.global_step,
+                            epoch=self.epoch,
+                            bpd=metrics["bpd"],
+                            grad_norm=metrics["grad_norm"],
+                        )
+            for lf_traj, hf_traj in (
+                () if self._resident else self.dataset.traj_batches(
+                    cfg.data.seed + self.epoch, b
+                )
             ):
                 if cfg.train.fused_windows:
                     n_win = lf_traj.shape[1] // window
