@@ -62,14 +62,15 @@ def main(argv=None) -> dict:
             collect="stats", mesh=mesh,
         )
     )
-    # Compile once, then time the real run. The warmup must force TRUE
-    # completion with a 1-element host transfer: block_until_ready can
-    # return early through tunneled backends, which silently shifts the
-    # (async) compile into the timed region (measured 0.2-17 "steps/s"
-    # for a 108-steps/s rollout before this fix).
+    # Compile once, then time the real run (force_completion, not
+    # block_until_ready: the latter returns early through tunneled
+    # backends and shifts the async compile into the timed region —
+    # measured 0.2-17 "steps/s" for a 108-steps/s rollout).
+    from tpuflow.utils.profiling import force_completion
+
     lf_dev = jnp.asarray(lf_traj)
     out = rollout(variables, lf_dev, jax.random.PRNGKey(0))
-    np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
+    force_completion(out)
     metrics: dict = {}
     from tpuflow.utils.profiling import trace_context
 

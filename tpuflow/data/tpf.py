@@ -445,18 +445,14 @@ class StreamingTrajectoryDataset:
     def denorm_lf(self, x):
         return x * self.norm.lf_std + self.norm.lf_mean
 
+    # Shared epoch-order source (dataset.py contract: batch_indices is
+    # the single source of truth — ram/resident/stream training must
+    # shuffle identically for deterministic cross-loader parity).
+    batch_indices = TrajectoryDataset.batch_indices
+
     def traj_batches(self, seed: int, batch_size: int, drop_remainder: bool = True):
         """Shuffled whole-trajectory (lf, hf) batches, normalized,
         double-buffered through the native loader."""
-        if drop_remainder and self.n_traj < batch_size:
-            raise ValueError(
-                f"batch_size={batch_size} exceeds the store's "
-                f"{self.n_traj} trajectories: zero batches per epoch"
-            )
-        order = np.random.default_rng(seed).permutation(self.n_traj)
-        ends = range(
-            0, len(order) - (batch_size - 1 if drop_remainder else 0), batch_size
-        )
         n = self.norm
 
         def issue(ids):
@@ -470,8 +466,8 @@ class StreamingTrajectoryDataset:
             )
 
         pending = None
-        for i in ends:
-            nxt = issue(order[i : i + batch_size])
+        for ids in self.batch_indices(seed, batch_size, drop_remainder):
+            nxt = issue(ids)
             if pending is not None:
                 yield pending[0].wait(), pending[1].wait()
             pending = nxt

@@ -26,7 +26,7 @@ from tpuflow.models.tmglow import TMGlow, LSTMState
 
 
 def window_bpd_fn(
-    model: TMGlow, remat: bool = True
+    model: TMGlow, remat: bool = False
 ) -> Callable[..., tuple[jax.Array, LSTMState]]:
     """Build loss(params, buffers, lf_win, hf_win, state) ->
     (mean bits/dim over the window, final state).
@@ -63,7 +63,7 @@ def window_bpd_fn(
 def make_train_step(
     model: TMGlow,
     optimizer: optax.GradientTransformation,
-    remat: bool = True,
+    remat: bool = False,
 ) -> Callable[..., tuple[Any, Any, LSTMState, dict[str, jax.Array]]]:
     """Build the jittable train step:
 
@@ -95,7 +95,7 @@ def make_trajectory_train_step(
     model: TMGlow,
     optimizer: optax.GradientTransformation,
     window: int,
-    remat: bool = True,
+    remat: bool = False,
 ) -> Callable[..., tuple[Any, Any, dict[str, jax.Array]]]:
     """Whole-trajectory train step: an outer ``lax.scan`` over BPTT
     windows INSIDE one jit (one device dispatch per trajectory batch

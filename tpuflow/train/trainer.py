@@ -234,6 +234,25 @@ class Trainer:
             # serialize host->device transfer with compute (async
             # dispatch lets the next batch upload while this one runs).
             pending: list = []
+
+            def record(n_win, metrics):
+                # Shared per-step bookkeeping for all three paths:
+                # device-side accumulation + log on log_every crossings.
+                nonlocal n_windows
+                self.global_step += n_win
+                pending.append((n_win, metrics))
+                n_windows += n_win
+                if (
+                    self.global_step // cfg.train.log_every
+                    != (self.global_step - n_win) // cfg.train.log_every
+                ):
+                    self.logger.log(
+                        self.global_step,
+                        epoch=self.epoch,
+                        bpd=metrics["bpd"],
+                        grad_norm=metrics["grad_norm"],
+                    )
+
             if self._resident:
                 if self._lf_all is None:
                     # One-time upload of the whole split, replicated
@@ -251,76 +270,43 @@ class Trainer:
                             self._lf_all, self._hf_all, jnp.asarray(idx),
                         )
                     )
-                    self.global_step += n_win_per
-                    pending.append((n_win_per, metrics))
-                    n_windows += n_win_per
-                    if (
-                        self.global_step // cfg.train.log_every
-                        != (self.global_step - n_win_per)
-                        // cfg.train.log_every
-                    ):
-                        self.logger.log(
-                            self.global_step,
-                            epoch=self.epoch,
-                            bpd=metrics["bpd"],
-                            grad_norm=metrics["grad_norm"],
-                        )
-            for lf_traj, hf_traj in (
-                () if self._resident else self.dataset.traj_batches(
+                    record(n_win_per, metrics)
+            else:
+                for lf_traj, hf_traj in self.dataset.traj_batches(
                     cfg.data.seed + self.epoch, b
-                )
-            ):
-                if cfg.train.fused_windows:
-                    n_win = lf_traj.shape[1] // window
-                    # device_put straight from the numpy batch: each
-                    # shard uploads once to its own device (jnp.asarray
-                    # first would commit the whole batch to device 0
-                    # and then reshard).
-                    lf_d = jax.device_put(lf_traj, ds)
-                    hf_d = jax.device_put(hf_traj, ds)
-                    (self.params, self.opt_state, metrics) = self._traj_step(
-                        self.params, self.buffers, self.opt_state, lf_d, hf_d
-                    )
-                    self.global_step += n_win
-                    pending.append((n_win, metrics))
-                    n_windows += n_win
-                    if (
-                        self.global_step // cfg.train.log_every
-                        != (self.global_step - n_win) // cfg.train.log_every
-                    ):
-                        self.logger.log(
-                            self.global_step,
-                            epoch=self.epoch,
-                            bpd=metrics["bpd"],
-                            grad_norm=metrics["grad_norm"],
-                        )
-                    continue
-                # Per-window path: fresh recurrent state per trajectory
-                # batch; carried (values only — truncation) across
-                # windows within it.
-                state = init_lstm_state(cfg.model, (b,))
-                state = shard_batch(state, self.mesh, ds)
-                for lf_win, hf_win in TrajectoryDataset.windows(
-                    lf_traj, hf_traj, window
                 ):
-                    lf_d = jax.device_put(lf_win, ds)
-                    hf_d = jax.device_put(hf_win, ds)
-                    (self.params, self.opt_state, state, metrics) = (
-                        self._train_step(
-                            self.params, self.buffers, self.opt_state,
-                            lf_d, hf_d, state,
+                    if cfg.train.fused_windows:
+                        # device_put straight from the numpy batch: each
+                        # shard uploads once to its own device
+                        # (jnp.asarray first would commit the whole
+                        # batch to device 0 and then reshard).
+                        lf_d = jax.device_put(lf_traj, ds)
+                        hf_d = jax.device_put(hf_traj, ds)
+                        (self.params, self.opt_state, metrics) = (
+                            self._traj_step(
+                                self.params, self.buffers, self.opt_state,
+                                lf_d, hf_d,
+                            )
                         )
-                    )
-                    self.global_step += 1
-                    pending.append((1, metrics))
-                    n_windows += 1
-                    if self.global_step % cfg.train.log_every == 0:
-                        self.logger.log(
-                            self.global_step,
-                            epoch=self.epoch,
-                            bpd=metrics["bpd"],
-                            grad_norm=metrics["grad_norm"],
+                        record(lf_traj.shape[1] // window, metrics)
+                        continue
+                    # Per-window path: fresh recurrent state per
+                    # trajectory batch; carried (values only —
+                    # truncation) across windows within it.
+                    state = init_lstm_state(cfg.model, (b,))
+                    state = shard_batch(state, self.mesh, ds)
+                    for lf_win, hf_win in TrajectoryDataset.windows(
+                        lf_traj, hf_traj, window
+                    ):
+                        lf_d = jax.device_put(lf_win, ds)
+                        hf_d = jax.device_put(hf_win, ds)
+                        (self.params, self.opt_state, state, metrics) = (
+                            self._train_step(
+                                self.params, self.buffers, self.opt_state,
+                                lf_d, hf_d, state,
+                            )
                         )
+                        record(1, metrics)
             # Drain device-side metrics once per epoch (single sync).
             for n_win, m in pending:
                 epoch_bpd += float(m["bpd"]) * n_win

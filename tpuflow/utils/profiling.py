@@ -26,6 +26,23 @@ def trace_context(trace_dir: str | None):
         yield
 
 
+def force_completion(tree) -> None:
+    """Force TRUE completion of a device computation by host-fetching
+    one element of one leaf (O(1) bytes).
+
+    Use this — never ``jax.block_until_ready`` — before starting any
+    timed region: block_until_ready has been observed returning early
+    through tunneled TPU backends, which silently shifts the async
+    compile/execution into the timing (a 111 steps/s rollout once
+    "measured" 0.2 steps/s this way). Bytes cannot arrive before the
+    computation finishes, so the 1-element transfer is a real barrier.
+    """
+    import numpy as np
+
+    leaf = jax.tree.leaves(tree)[0]
+    np.asarray(leaf.ravel()[:1] if hasattr(leaf, "ravel") else leaf)
+
+
 @contextlib.contextmanager
 def step_timer(result: dict, key: str, n_items: int = 1):
     """Time a block with device sync; writes items/sec into result[key]
@@ -43,16 +60,7 @@ def step_timer(result: dict, key: str, n_items: int = 1):
     t0 = time.perf_counter()
     yield sync
     if sync:
-        # Materialize one element to the host rather than
-        # block_until_ready: the latter has been observed returning
-        # early through tunneled TPU backends, but bytes cannot arrive
-        # before the computation finishes.
-        import numpy as np
-
-        leaf = jax.tree.leaves(sync[-1])[0]
-        # Slice ONE element device-side first so the host transfer is
-        # O(1) bytes, not the whole result.
-        np.asarray(leaf.ravel()[:1] if hasattr(leaf, "ravel") else leaf)
+        force_completion(sync[-1])
     dt = time.perf_counter() - t0
     result[key] = n_items / dt if dt > 0 else float("inf")
     result[f"{key}_seconds"] = dt
