@@ -125,3 +125,10 @@ def main(argv=None) -> dict:
 
 if __name__ == "__main__":
     main()
+
+
+def cli() -> int:
+    """Console-script entry (pyproject [project.scripts]): discard
+    main()'s metrics dict so the process exit code is 0, not truthy."""
+    main()
+    return 0
