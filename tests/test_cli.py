@@ -61,6 +61,14 @@ def test_cli_train_rollout_evaluate_pipeline(tmp_path):
     assert np.isfinite(emetrics["tke_rel_l2_mean"])
     assert np.isfinite(emetrics["crps_mean"])
     assert 0.0 <= emetrics["coverage"]["0.90"] <= 1.0
+    # Post-hoc recalibration (eval/calibrate.py): fitted scale plus
+    # held-out raw/recalibrated coverage, fit/eval on disjoint
+    # trajectories when the split allows.
+    assert emetrics["spread_scale"] > 0.0
+    assert not emetrics["calibration_in_sample"]
+    assert 0.0 <= emetrics["coverage_holdout_recalibrated"]["0.90"] <= 1.0
+    assert np.isfinite(emetrics["crps_holdout_recalibrated"])
+    assert (out_dir / "reliability_holdout.png").exists()
     assert (out_dir / "nll_curve.png").exists()
     assert (out_dir / "eval_metrics.json").exists()
     assert (out_dir / "reliability.png").exists()

@@ -202,3 +202,42 @@ def test_coverage_calibrated_ensemble():
     np.testing.assert_allclose(emp, np.asarray(levels), atol=0.06)
     np.testing.assert_allclose(gau, np.asarray(levels), atol=0.06)
     assert np.all(np.diff(emp) > -1e-6)  # monotone in the nominal level
+
+
+def test_spread_scale_recovers_underdispersion():
+    """An ensemble whose spread is a known factor too small gets that
+    factor back from fit_spread_scale, and scaling the members by it
+    restores nominal coverage (eval/calibrate.py contract)."""
+    from tpuflow.eval import ensemble_coverage, fit_spread_scale, scale_members
+
+    rng = np.random.default_rng(3)
+    true_scale = 2.5
+    # Members drawn with std 1/true_scale of the reference's.
+    members = (rng.normal(size=(128, 48, 48)) / true_scale).astype(np.float32)
+    ref = rng.normal(size=(48, 48)).astype(np.float32)
+    s = float(fit_spread_scale(jnp.asarray(members), jnp.asarray(ref)))
+    assert abs(s - true_scale) / true_scale < 0.1
+
+    levels = (0.5, 0.8, 0.9, 0.95)
+    cal = scale_members(jnp.asarray(members), s)
+    cov_raw = np.asarray(
+        ensemble_coverage(jnp.asarray(members), jnp.asarray(ref), levels)
+    )
+    cov_cal = np.asarray(ensemble_coverage(cal, jnp.asarray(ref), levels))
+    assert np.all(cov_raw < np.asarray(levels) - 0.15)  # badly undercovered
+    np.testing.assert_allclose(cov_cal, levels, atol=0.06)
+    # Mean-preserving: field-error metrics unchanged by recalibration.
+    np.testing.assert_allclose(
+        np.asarray(cal).mean(0), members.mean(0), atol=1e-5
+    )
+
+
+def test_spread_scale_identity_when_calibrated():
+    """A calibrated ensemble fits a scale ~1 (no spurious inflation)."""
+    from tpuflow.eval import fit_spread_scale
+
+    rng = np.random.default_rng(4)
+    members = rng.normal(size=(256, 32, 32)).astype(np.float32)
+    ref = rng.normal(size=(32, 32)).astype(np.float32)
+    s = float(fit_spread_scale(jnp.asarray(members), jnp.asarray(ref)))
+    assert abs(s - 1.0) < 0.1

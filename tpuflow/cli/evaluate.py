@@ -19,6 +19,7 @@ import numpy as np
 
 from tpuflow.cli import parse_args
 from tpuflow.data.dataset import load_dataset
+from tpuflow.eval.calibrate import fit_spread_scale, scale_members
 from tpuflow.eval.loading import load_eval_bundle
 from tpuflow.eval.plots import (
     plot_energy_spectrum,
@@ -137,6 +138,52 @@ def main(argv=None) -> dict:
             ),
             "calibration_steps": t_cal,
         }
+        # Post-hoc spread recalibration (eval/calibrate.py): fit the
+        # inflation factor on trajectory 0, report recalibrated
+        # coverage/CRPS on the held-out trajectory 1 (disjoint fit /
+        # eval; falls back to in-sample with a flag when only one test
+        # trajectory exists). The fitted scale deploys for free via the
+        # eval.spread_scale config (rollout stats: var * s^2).
+        scale = fit_spread_scale(members, jnp.asarray(hf0))
+        holdout_i = 1 if ds.n_traj > 1 else 0
+        if holdout_i == 0:
+            m_h, hf_h = members, jnp.asarray(hf0)
+        else:
+            f_h = np.asarray(
+                fields_rollout(
+                    variables,
+                    jnp.asarray(ds.lf[holdout_i, :t_cal]),
+                    jax.random.PRNGKey(holdout_i),
+                )
+            )
+            m_h = jnp.asarray(np.moveaxis(ds.denorm_hf(f_h), 1, 0))
+            hf_h = jnp.asarray(ds.denorm_hf(ds.hf[holdout_i, :t_cal]))
+        m_cal = scale_members(m_h, scale)
+        cov_raw = ensemble_coverage(m_h, hf_h, levels=_COVERAGE_LEVELS)
+        cov_cal = ensemble_coverage(m_cal, hf_h, levels=_COVERAGE_LEVELS)
+        calib.update(
+            spread_scale=float(scale),
+            calibration_in_sample=(holdout_i == 0),
+            coverage_holdout_raw={
+                f"{q:.2f}": float(c)
+                for q, c in zip(_COVERAGE_LEVELS, np.asarray(cov_raw))
+            },
+            coverage_holdout_recalibrated={
+                f"{q:.2f}": float(c)
+                for q, c in zip(_COVERAGE_LEVELS, np.asarray(cov_cal))
+            },
+            crps_holdout_raw=float(np.mean(np.asarray(ensemble_crps(m_h, hf_h)))),
+            crps_holdout_recalibrated=float(
+                np.mean(np.asarray(ensemble_crps(m_cal, hf_h)))
+            ),
+        )
+        plot_reliability(
+            out_dir,
+            np.asarray(_COVERAGE_LEVELS),
+            np.asarray(cov_raw),
+            recalibrated=np.asarray(cov_cal),
+            suffix="_holdout",
+        )
     # Figure matches the metric: averaged over ALL test trajectories.
     plot_tke(
         out_dir,

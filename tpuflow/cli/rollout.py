@@ -85,6 +85,11 @@ def main(argv=None) -> dict:
     # contract); the dataset holds normalized fields.
     mean = ds.denorm_hf(np.asarray(out["mean"]))
     var = ds.denorm_hf_var(np.asarray(out["var"]))
+    # Post-hoc UQ recalibration (eval/calibrate.py): mean-preserving
+    # spread inflation fitted by cli/evaluate.py, applied to the
+    # two-moment stats for free.
+    if cfg.eval.spread_scale != 1.0:
+        var = var * cfg.eval.spread_scale**2
     hf_phys = ds.denorm_hf(hf_traj)
     lf_phys = ds.denorm_lf(lf_traj)
     np.savez_compressed(out_dir / "rollout_stats.npz", mean=mean, var=var)

@@ -149,6 +149,10 @@ class EvalConfig:
     # steps on the first test trajectory feeds ensemble CRPS, interval
     # coverage, and energy spectra (0 = skip; memory is O(T*N*H*W*C)).
     calibration_steps: int = 32
+    # Post-hoc UQ spread inflation (eval/calibrate.py): rollout stats
+    # report var * spread_scale**2. Fit with cli/evaluate.py (the
+    # "spread_scale" metric); 1.0 = raw ensemble dispersion.
+    spread_scale: float = 1.0
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,64 @@
+"""Post-hoc UQ recalibration: ensemble spread scaling.
+
+Parity+ over the reference (SURVEY.md §2 physics-statistics row): the
+reference reports raw ensemble variance maps (arXiv:2006.04731 §4);
+TM-Glow ensembles at the paper's tau=0.7 are sharp but underdispersed
+(measured coverage ~0.24 at nominal 0.50 — docs/PARITY.md). Standard
+fix from the probabilistic-forecasting literature: fit a single spread
+inflation factor on held-out data and scale member deviations around
+the ensemble mean. The scale is fit by moment matching
+
+    s = RMS((ref - mean) / std)
+
+which is exact for a Gaussian predictive: after scaling, the z-scores
+(ref - mean) / (s * std) have unit RMS, so central-interval coverage
+matches nominal levels in expectation. Fitting uses one trajectory;
+reporting uses a disjoint one (see cli/evaluate.py).
+
+The scale transfers to the O(1)-memory two-moment rollout stats as
+``var * s**2`` (``eval.spread_scale`` config field, applied by
+cli/rollout.py), so calibrated UQ costs nothing at deployment.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def fit_spread_scale(
+    members: jnp.ndarray, ref: jnp.ndarray, axis: int = 0
+) -> jnp.ndarray:
+    """Spread inflation factor fit by z-score moment matching.
+
+    Args:
+      members: ensemble samples, member axis ``axis`` (size N >= 2).
+      ref: reference field, shape = members without the member axis.
+
+    Returns: scalar s such that ``mean + s * (members - mean)`` is
+    calibrated in the unit-z-RMS sense. s > 1 means the raw ensemble
+    is underdispersed; s < 1 overdispersed.
+    """
+    x = jnp.moveaxis(members, axis, 0)
+    if x.shape[0] < 2:
+        raise ValueError(
+            f"fit_spread_scale needs >= 2 members (got {x.shape[0]})"
+        )
+    mean = x.mean(axis=0)
+    # ddof=1: the reference is not an ensemble member, so the unbiased
+    # member variance is the predictive variance estimate.
+    std = x.std(axis=0, ddof=1)
+    z = (ref - mean) / (std + 1e-20)
+    return jnp.sqrt(jnp.mean(z * z))
+
+
+def scale_members(
+    members: jnp.ndarray, scale: jnp.ndarray | float, axis: int = 0
+) -> jnp.ndarray:
+    """Inflate member deviations around the ensemble mean by ``scale``.
+
+    Mean-preserving: the recalibrated ensemble has identical ensemble
+    mean and ``scale``-times the spread, so field-error metrics are
+    unchanged while coverage/CRPS respond to the new dispersion.
+    """
+    mean = jnp.mean(members, axis=axis, keepdims=True)
+    return mean + scale * (members - mean)

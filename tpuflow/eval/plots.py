@@ -169,21 +169,27 @@ def plot_reliability(
     levels: np.ndarray,
     empirical: np.ndarray,
     label: str = "ensemble",
+    recalibrated: np.ndarray | None = None,
+    suffix: str = "",
 ) -> pathlib.Path:
     """Reliability diagram: empirical coverage of central predictive
-    intervals vs nominal level (diagonal = perfectly calibrated UQ)."""
+    intervals vs nominal level (diagonal = perfectly calibrated UQ).
+    Optionally overlays the post-hoc recalibrated curve
+    (eval/calibrate.py spread scaling)."""
     out_dir = pathlib.Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     fig, ax = plt.subplots(figsize=(4, 3.8))
     ax.plot([0, 1], [0, 1], "k--", alpha=0.5, label="perfect")
     ax.plot(levels, empirical, "o-", label=label)
+    if recalibrated is not None:
+        ax.plot(levels, recalibrated, "s-", label="recalibrated")
     ax.set_xlabel("nominal coverage")
     ax.set_ylabel("empirical coverage")
     ax.set_xlim(0, 1)
     ax.set_ylim(0, 1)
     ax.grid(alpha=0.3)
     ax.legend(fontsize=8)
-    path = out_dir / "reliability.png"
+    path = out_dir / f"reliability{suffix}.png"
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return path
