@@ -27,7 +27,11 @@ from tpuflow.eval.plots import (
     plot_reliability,
     plot_tke,
 )
-from tpuflow.eval.rollout import make_ensemble_rollout, make_nll_eval
+from tpuflow.eval.rollout import (
+    make_batched_ensemble_rollout,
+    make_ensemble_rollout,
+    make_nll_eval,
+)
 from tpuflow.eval.stats import (
     energy_spectrum,
     ensemble_coverage,
@@ -52,14 +56,24 @@ def main(argv=None) -> dict:
     bpds = nll(variables, jnp.asarray(ds.lf[:, :T]), jnp.asarray(ds.hf[:, :T]))
     bpd_per_step = np.asarray(bpds).mean(axis=1)
 
-    # Ensemble rollout per test trajectory -> physics statistics.
+    # Ensemble rollout over ALL test trajectories in one batched call
+    # (eval/rollout.py make_batched_ensemble_rollout: trajectory axis x
+    # ensemble axis as one MXU batch — one compile, one dispatch).
     rollout = jax.jit(
-        make_ensemble_rollout(
+        make_batched_ensemble_rollout(
             model, cfg.eval.n_samples, cfg.eval.temperature, collect="stats"
         )
     )
     if ds.n_traj == 0:
         raise ValueError("test split is empty — nothing to evaluate")
+
+    out = rollout(
+        variables,
+        jnp.asarray(ds.lf[:, :T]),
+        jnp.stack([jax.random.PRNGKey(i) for i in range(ds.n_traj)]),
+    )
+    means = np.asarray(out["mean"])
+    vars_ = np.asarray(out["var"])
 
     # Physics statistics are computed in PHYSICAL units (the dataset
     # holds normalized fields; per-channel sigma differs, so normalized
@@ -67,11 +81,8 @@ def main(argv=None) -> dict:
     tke_errs, mean_errs, var_mean = [], [], []
     tke_pred_sum = tke_ref_sum = None
     for i in range(ds.n_traj):
-        out = rollout(
-            variables, jnp.asarray(ds.lf[i, :T]), jax.random.PRNGKey(i)
-        )
-        mean = jnp.asarray(ds.denorm_hf(np.asarray(out["mean"])))
-        var = jnp.asarray(ds.denorm_hf_var(np.asarray(out["var"])))
+        mean = jnp.asarray(ds.denorm_hf(means[i]))
+        var = jnp.asarray(ds.denorm_hf_var(vars_[i]))
         hf = jnp.asarray(ds.denorm_hf(ds.hf[i, :T]))
         # Predicted turbulent fluctuation: pooled (time x ensemble)
         # variance vs the HF temporal variance (see stats.total_variance).

@@ -3,7 +3,11 @@ statistics (TKE, velocity moments), held-out NLL, figures
 (SURVEY.md L5 / §3.2 call stack)."""
 
 from tpuflow.eval.calibrate import fit_spread_scale, scale_members
-from tpuflow.eval.rollout import make_ensemble_rollout, make_nll_eval
+from tpuflow.eval.rollout import (
+    make_batched_ensemble_rollout,
+    make_ensemble_rollout,
+    make_nll_eval,
+)
 from tpuflow.eval.stats import (
     tke_field,
     total_variance,
@@ -19,6 +23,7 @@ from tpuflow.eval.stats import (
 
 __all__ = [
     "make_ensemble_rollout",
+    "make_batched_ensemble_rollout",
     "make_nll_eval",
     "fit_spread_scale",
     "scale_members",

@@ -103,6 +103,53 @@ def make_ensemble_rollout(
     return rollout
 
 
+def make_batched_ensemble_rollout(
+    model: TMGlow,
+    n_samples: int,
+    temperature: float = 1.0,
+    collect: str = "stats",
+    mesh=None,
+) -> Callable:
+    """Batched serving: rollout(variables, lf_trajs, rngs) for a BATCH
+    of LF trajectories at once — vmap over the trajectory axis of the
+    single-trajectory scan, so B trajectories x N members ride the same
+    compiled step as one big MXU batch (one compile, one dispatch,
+    no per-trajectory Python loop).
+
+    Parallelism disposition (SURVEY.md §2): the trajectory axis is the
+    "data" mesh axis — with ``mesh``, inputs are sharded over it and
+    each chip rolls out its trajectories' full ensembles locally
+    (zero-communication data parallelism, the production many-LF-runs
+    serving shape). The ensemble-across-chips layout for
+    single-trajectory latency remains ``make_ensemble_rollout(mesh=...)``.
+
+    Args:
+      lf_trajs: (B, T, h, w, C) normalized LF input sequences.
+      rngs: (B,) stacked PRNG keys, one per trajectory.
+
+    Returns stacked single-trajectory outputs: "stats" -> dict of
+    mean/var (B, T, H, W, C); "fields" -> (B, T, N, H, W, C).
+    """
+    single = make_ensemble_rollout(model, n_samples, temperature, collect)
+    batched = jax.vmap(single, in_axes=(None, 0, 0, None))
+
+    if mesh is None:
+        def rollout(variables, lf_trajs, rngs, temperature=temperature):
+            return batched(variables, lf_trajs, rngs, temperature)
+        return rollout
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data_sharding = NamedSharding(mesh, P("data"))
+
+    def rollout(variables, lf_trajs, rngs, temperature=temperature):
+        lf_trajs = jax.lax.with_sharding_constraint(lf_trajs, data_sharding)
+        rngs = jax.lax.with_sharding_constraint(rngs, data_sharding)
+        return batched(variables, lf_trajs, rngs, temperature)
+
+    return rollout
+
+
 def make_nll_eval(model: TMGlow) -> Callable:
     """Build nll(variables, lf_traj, hf_traj) -> (T,B) bits/dim for a
     batch of held-out trajectories (the reference's test-NLL metric,
