@@ -1,0 +1,61 @@
+"""End-to-end tpuflow walkthrough on the procedural synthetic dataset.
+
+Runs the full reference workflow (SURVEY.md §3: train -> checkpoint ->
+ensemble rollout -> UQ statistics -> recalibration) in miniature, with
+no downloads and no TPU required — a few minutes on CPU, seconds on a
+chip. For the production-size runs, drop the size overrides (see
+tpuflow/configs/cases/*.yaml for the real presets).
+
+    python examples/quickstart.py [workdir]
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+
+from tpuflow.cli.evaluate import main as evaluate_main
+from tpuflow.cli.rollout import main as rollout_main
+from tpuflow.cli.train import main as train_main
+
+workdir = pathlib.Path(sys.argv[1] if len(sys.argv) > 1 else "./quickstart_out")
+
+# The case API: one positional case name + dotted overrides — identical
+# to the CLI (`python -m tpuflow.cli.train backward-step key=value ...`).
+small = [
+    "backward-step",
+    # Miniature model so CPU finishes in minutes (production preset:
+    # remove these lines).
+    "model.n_scales=2", "model.n_flow_steps=2", "model.coupling_width=8",
+    "model.coupling_layers=2", "model.growth_rate=4",
+    "model.encoder_width=8", "model.lstm_hidden=8", "model.cond_channels=8",
+    "model.hf_shape=16,32", "model.lf_shape=4,8",
+    # Miniature synthetic dataset (procedural — no Zenodo archives).
+    "data.n_train_traj=8", "data.n_test_traj=4", "data.train_steps=8",
+    "data.window=4", "data.batch_size=4",
+    f"train.checkpoint_dir={workdir}/ckpt",
+    f"eval.output_dir={workdir}/eval",
+    "train.epochs=8", "train.checkpoint_every=4",
+    "eval.rollout_steps=8", "eval.n_samples=8", "eval.calibration_steps=6",
+]
+
+print("== 1. Train (truncated-BPTT NLL, Adam + decay, Orbax checkpoints)")
+train = train_main(small)
+print(f"   final mean bits/dim: {train['mean_bpd']:.3f}")
+
+print("== 2. Ensemble rollout (autoregressive lax.scan, O(1) memory)")
+roll = rollout_main(small)
+print(f"   {roll['rollout_steps_per_sec']:.2f} steps/s; "
+      f"figures in {workdir}/eval/backward-step/")
+
+print("== 3. Held-out evaluation (NLL, TKE, spectra, CRPS, coverage)")
+ev = evaluate_main(small)
+print(json.dumps({k: ev[k] for k in (
+    "test_bpd", "field_rel_l2_mean", "tke_rel_l2_mean", "crps_mean",
+    "spread_scale")}, indent=1))
+
+print("== 4. Deploy the fitted UQ recalibration for free")
+roll2 = rollout_main(small + [f"eval.spread_scale={ev['spread_scale']}"])
+print(f"   recalibrated rollout stats written "
+      f"(var x {ev['spread_scale']:.2f}^2); done.")
