@@ -56,6 +56,11 @@ print(json.dumps({k: ev[k] for k in (
     "spread_scale")}, indent=1))
 
 print("== 4. Deploy the fitted UQ recalibration for free")
-roll2 = rollout_main(small + [f"eval.spread_scale={ev['spread_scale']}"])
-print(f"   recalibrated rollout stats written "
-      f"(var x {ev['spread_scale']:.2f}^2); done.")
+# Separate output dir so step 2's raw stats/figures stay inspectable;
+# physics TKE stays on raw variance, UQ surfaces get var_calibrated.
+rollout_main(small + [
+    f"eval.spread_scale={ev['spread_scale']}",
+    f"eval.output_dir={workdir}/eval_recalibrated",
+])
+print(f"   recalibrated rollout stats written to eval_recalibrated/ "
+      f"(var_calibrated = var x {ev['spread_scale']:.2f}^2); done.")

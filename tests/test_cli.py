@@ -70,6 +70,20 @@ def test_cli_train_rollout_evaluate_pipeline(tmp_path):
     assert np.isfinite(emetrics["crps_holdout_recalibrated"])
     assert (out_dir / "reliability_holdout.png").exists()
     assert (out_dir / "nll_curve.png").exists()
+
+    # Trajectory chunking (eval.traj_batch) is a pure memory bound:
+    # per-trajectory PRNG keys make chunked and single-dispatch
+    # evaluation identical.
+    echunked = evaluate_main(
+        _overrides(tmp_path)
+        + ["eval.calibration_steps=4", "eval.traj_batch=1"]
+    )
+    assert echunked["tke_rel_l2_mean"] == pytest.approx(
+        emetrics["tke_rel_l2_mean"], rel=1e-5
+    )
+    assert echunked["field_rel_l2_mean"] == pytest.approx(
+        emetrics["field_rel_l2_mean"], rel=1e-5
+    )
     assert (out_dir / "eval_metrics.json").exists()
     assert (out_dir / "reliability.png").exists()
     assert (out_dir / "energy_spectrum.png").exists()

@@ -56,24 +56,35 @@ def main(argv=None) -> dict:
     bpds = nll(variables, jnp.asarray(ds.lf[:, :T]), jnp.asarray(ds.hf[:, :T]))
     bpd_per_step = np.asarray(bpds).mean(axis=1)
 
-    # Ensemble rollout over ALL test trajectories in one batched call
-    # (eval/rollout.py make_batched_ensemble_rollout: trajectory axis x
-    # ensemble axis as one MXU batch — one compile, one dispatch).
+    # Ensemble rollout over test trajectories in batched calls of
+    # eval.traj_batch (eval/rollout.py make_batched_ensemble_rollout:
+    # trajectory axis x ensemble axis as one MXU batch). The chunking
+    # bounds peak activation memory at traj_batch * n_samples members
+    # regardless of test-split size; the final ragged chunk reuses the
+    # same compilation only if full-sized, so chunks pad by repeating
+    # the last trajectory and the padding results are dropped.
+    if ds.n_traj == 0:
+        raise ValueError("test split is empty — nothing to evaluate")
+    bsz = min(max(1, cfg.eval.traj_batch), ds.n_traj)
     rollout = jax.jit(
         make_batched_ensemble_rollout(
             model, cfg.eval.n_samples, cfg.eval.temperature, collect="stats"
         )
     )
-    if ds.n_traj == 0:
-        raise ValueError("test split is empty — nothing to evaluate")
-
-    out = rollout(
-        variables,
-        jnp.asarray(ds.lf[:, :T]),
-        jnp.stack([jax.random.PRNGKey(i) for i in range(ds.n_traj)]),
-    )
-    means = np.asarray(out["mean"])
-    vars_ = np.asarray(out["var"])
+    means_l, vars_l = [], []
+    for start in range(0, ds.n_traj, bsz):
+        idx = list(range(start, min(start + bsz, ds.n_traj)))
+        pad = bsz - len(idx)
+        idx_p = idx + [idx[-1]] * pad
+        out = rollout(
+            variables,
+            jnp.asarray(ds.lf[idx_p, :T]),
+            jnp.stack([jax.random.PRNGKey(i) for i in idx_p]),
+        )
+        means_l.append(np.asarray(out["mean"])[: len(idx)])
+        vars_l.append(np.asarray(out["var"])[: len(idx)])
+    means = np.concatenate(means_l, axis=0)
+    vars_ = np.concatenate(vars_l, axis=0)
 
     # Physics statistics are computed in PHYSICAL units (the dataset
     # holds normalized fields; per-channel sigma differs, so normalized
@@ -112,14 +123,20 @@ def main(argv=None) -> dict:
                 collect="fields",
             )
         )
-        fields = np.asarray(
-            fields_rollout(
-                variables, jnp.asarray(ds.lf[0, :t_cal]), jax.random.PRNGKey(0)
-            )
-        )  # (T, N, H, W, C) normalized
-        fields = ds.denorm_hf(fields)
-        hf0 = ds.denorm_hf(ds.hf[0, :t_cal])  # (T, H, W, C)
-        members = jnp.asarray(np.moveaxis(fields, 1, 0))  # (N, T, H, W, C)
+        def _members_for(traj_i: int):
+            """Physical-unit ensemble members (N, T, H, W, C) + HF
+            reference (T, H, W, C) for one test trajectory."""
+            f = np.asarray(
+                fields_rollout(
+                    variables,
+                    jnp.asarray(ds.lf[traj_i, :t_cal]),
+                    jax.random.PRNGKey(traj_i),
+                )
+            )  # (T, N, H, W, C) normalized
+            m = jnp.asarray(np.moveaxis(ds.denorm_hf(f), 1, 0))
+            return m, jnp.asarray(ds.denorm_hf(ds.hf[traj_i, :t_cal]))
+
+        members, hf0 = _members_for(0)
         crps = ensemble_crps(members, jnp.asarray(hf0))
         coverage = ensemble_coverage(
             members, jnp.asarray(hf0), levels=_COVERAGE_LEVELS
@@ -155,20 +172,12 @@ def main(argv=None) -> dict:
         # eval; falls back to in-sample with a flag when only one test
         # trajectory exists). The fitted scale deploys for free via the
         # eval.spread_scale config (rollout stats: var * s^2).
-        scale = fit_spread_scale(members, jnp.asarray(hf0))
+        scale = fit_spread_scale(members, hf0)
         holdout_i = 1 if ds.n_traj > 1 else 0
         if holdout_i == 0:
-            m_h, hf_h = members, jnp.asarray(hf0)
+            m_h, hf_h = members, hf0
         else:
-            f_h = np.asarray(
-                fields_rollout(
-                    variables,
-                    jnp.asarray(ds.lf[holdout_i, :t_cal]),
-                    jax.random.PRNGKey(holdout_i),
-                )
-            )
-            m_h = jnp.asarray(np.moveaxis(ds.denorm_hf(f_h), 1, 0))
-            hf_h = jnp.asarray(ds.denorm_hf(ds.hf[holdout_i, :t_cal]))
+            m_h, hf_h = _members_for(holdout_i)
         m_cal = scale_members(m_h, scale)
         cov_raw = ensemble_coverage(m_h, hf_h, levels=_COVERAGE_LEVELS)
         cov_cal = ensemble_coverage(m_cal, hf_h, levels=_COVERAGE_LEVELS)

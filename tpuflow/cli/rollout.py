@@ -86,23 +86,28 @@ def main(argv=None) -> dict:
     mean = ds.denorm_hf(np.asarray(out["mean"]))
     var = ds.denorm_hf_var(np.asarray(out["var"]))
     # Post-hoc UQ recalibration (eval/calibrate.py): mean-preserving
-    # spread inflation fitted by cli/evaluate.py, applied to the
-    # two-moment stats for free.
-    if cfg.eval.spread_scale != 1.0:
-        var = var * cfg.eval.spread_scale**2
+    # spread inflation fitted by cli/evaluate.py. It applies to the
+    # PREDICTIVE-uncertainty surfaces only (variance maps, +-2sigma
+    # profiles, saved var_calibrated); physics statistics (TKE) stay on
+    # the raw ensemble variance — the model's turbulent fluctuation is
+    # a physical quantity, not an uncertainty estimate.
+    var_cal = var * cfg.eval.spread_scale**2
     hf_phys = ds.denorm_hf(hf_traj)
     lf_phys = ds.denorm_lf(lf_traj)
-    np.savez_compressed(out_dir / "rollout_stats.npz", mean=mean, var=var)
+    stats_out = {"mean": mean, "var": var}
+    if cfg.eval.spread_scale != 1.0:
+        stats_out["var_calibrated"] = var_cal
+    np.savez_compressed(out_dir / "rollout_stats.npz", **stats_out)
 
     for t in (0, T // 2, T - 1):
         plot_prediction_panels(
-            out_dir, lf_phys[t], hf_phys[t], mean[t], var[t], t
+            out_dir, lf_phys[t], hf_phys[t], mean[t], var_cal[t], t
         )
     tke_pred = np.asarray(tke_field(total_variance(jnp.asarray(mean), jnp.asarray(var))))
     plot_tke(out_dir, tke_pred, np.asarray(tke_field(jnp.asarray(hf_phys.var(axis=0)))))
     t_mid = T // 2
     plot_profiles(
-        out_dir, mean[t_mid], np.sqrt(var[t_mid]), hf_phys[t_mid]
+        out_dir, mean[t_mid], np.sqrt(var_cal[t_mid]), hf_phys[t_mid]
     )
 
     # Individual member samples (small fields-mode rollout to t_mid+1).

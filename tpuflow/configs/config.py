@@ -153,6 +153,9 @@ class EvalConfig:
     # report var * spread_scale**2. Fit with cli/evaluate.py (the
     # "spread_scale" metric); 1.0 = raw ensemble dispersion.
     spread_scale: float = 1.0
+    # Trajectories per batched-rollout dispatch in cli/evaluate.py —
+    # bounds peak activation memory at traj_batch * n_samples members.
+    traj_batch: int = 4
 
 
 @dataclass(frozen=True)

@@ -44,9 +44,11 @@ def fit_spread_scale(
             f"fit_spread_scale needs >= 2 members (got {x.shape[0]})"
         )
     mean = x.mean(axis=0)
-    # ddof=1: the reference is not an ensemble member, so the unbiased
-    # member variance is the predictive variance estimate.
-    std = x.std(axis=0, ddof=1)
+    # ddof=0 to match the deployment target exactly: rollout stats mode
+    # accumulates jnp.var (population variance), and eval.spread_scale
+    # multiplies THAT by s^2 — fitting against a ddof=1 std would leave
+    # deployed two-moment intervals sqrt((N-1)/N) too narrow.
+    std = x.std(axis=0)
     z = (ref - mean) / (std + 1e-20)
     return jnp.sqrt(jnp.mean(z * z))
 
