@@ -84,6 +84,21 @@ def test_cli_train_rollout_evaluate_pipeline(tmp_path):
     assert echunked["field_rel_l2_mean"] == pytest.approx(
         emetrics["field_rel_l2_mean"], rel=1e-5
     )
+    # Ragged final chunk (3 trajectories, batch 2) pads by repeating the
+    # last trajectory and drops the padding — metrics must match the
+    # no-padding single-dispatch run exactly.
+    three = _overrides(tmp_path) + [
+        "data.n_test_traj=3", "eval.calibration_steps=4"
+    ]
+    e_full = evaluate_main(three + ["eval.traj_batch=3"])
+    e_pad = evaluate_main(three + ["eval.traj_batch=2"])
+    assert e_pad["n_test_traj"] == 3
+    assert e_pad["tke_rel_l2_mean"] == pytest.approx(
+        e_full["tke_rel_l2_mean"], rel=1e-5
+    )
+    assert e_pad["field_rel_l2_mean"] == pytest.approx(
+        e_full["field_rel_l2_mean"], rel=1e-5
+    )
     assert (out_dir / "eval_metrics.json").exists()
     assert (out_dir / "reliability.png").exists()
     assert (out_dir / "energy_spectrum.png").exists()
