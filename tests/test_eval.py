@@ -273,3 +273,52 @@ def test_batched_rollout_matches_loop():
     out_s = sharded(variables, lf, keys)
     np.testing.assert_allclose(out_s["mean"], out["mean"], atol=1e-5)
     np.testing.assert_allclose(out_s["var"], out["var"], atol=1e-5)
+
+
+def test_interval_scales_heavy_tails():
+    """Per-level interval recalibration calibrates EVERY level for
+    heavy-tailed residuals where the single spread factor cannot
+    (calibrate.py fit_interval_scales contract), and transfers to a
+    fresh sample from the same residual distribution."""
+    from tpuflow.eval import (
+        fit_interval_scales,
+        fit_spread_scale,
+        scaled_interval_coverage,
+    )
+
+    rng = np.random.default_rng(5)
+    levels = (0.5, 0.8, 0.9, 0.95)
+    members = rng.normal(size=(128, 64, 64)).astype(np.float32)
+    # Student-t residuals (df=3): heavy tails relative to the Gaussian
+    # ensemble spread.
+    ref_fit = rng.standard_t(3, size=(64, 64)).astype(np.float32)
+    ref_new = rng.standard_t(3, size=(64, 64)).astype(np.float32)
+
+    iscales = np.asarray(
+        fit_interval_scales(jnp.asarray(members), jnp.asarray(ref_fit), levels)
+    )
+    # Heavy tails demand increasing inflation with the level.
+    assert np.all(np.diff(iscales) > 0)
+
+    mean = jnp.asarray(members.mean(0))
+    var = jnp.asarray(members.var(0))
+    cov_new = np.asarray(
+        scaled_interval_coverage(
+            mean, var, jnp.asarray(ref_new), jnp.asarray(iscales), levels
+        )
+    )
+    np.testing.assert_allclose(cov_new, levels, atol=0.05)
+
+    # The single RMS factor is tail-dominated for t(3) residuals: it
+    # over-covers the central levels (e.g. ~0.64 at nominal 0.50) and
+    # its worst-level miscalibration exceeds the per-level fit's.
+    s = float(fit_spread_scale(jnp.asarray(members), jnp.asarray(ref_fit)))
+    cov_s = np.asarray(
+        scaled_interval_coverage(
+            mean, var, jnp.asarray(ref_new),
+            jnp.asarray([s] * len(levels)), levels,
+        )
+    )
+    assert cov_s[0] > levels[0] + 0.05
+    lv = np.asarray(levels)
+    assert np.abs(cov_new - lv).max() < np.abs(cov_s - lv).max()

@@ -19,7 +19,12 @@ import numpy as np
 
 from tpuflow.cli import parse_args
 from tpuflow.data.dataset import load_dataset
-from tpuflow.eval.calibrate import fit_spread_scale, scale_members
+from tpuflow.eval.calibrate import (
+    fit_interval_scales,
+    fit_spread_scale,
+    scale_members,
+    scaled_interval_coverage,
+)
 from tpuflow.eval.loading import load_eval_bundle
 from tpuflow.eval.plots import (
     plot_energy_spectrum,
@@ -181,6 +186,18 @@ def main(argv=None) -> dict:
         m_cal = scale_members(m_h, scale)
         cov_raw = ensemble_coverage(m_h, hf_h, levels=_COVERAGE_LEVELS)
         cov_cal = ensemble_coverage(m_cal, hf_h, levels=_COVERAGE_LEVELS)
+        # Per-level interval recalibration: one spread factor only
+        # calibrates every level for Gaussian z; measured residuals are
+        # heavy-tailed, so each level gets its own factor s_q (fit on
+        # trajectory 0, applied to the holdout's two-moment stats).
+        iscales = fit_interval_scales(members, hf0, levels=_COVERAGE_LEVELS)
+        cov_q = scaled_interval_coverage(
+            m_h.mean(axis=0),
+            m_h.var(axis=0),
+            hf_h,
+            iscales,
+            levels=_COVERAGE_LEVELS,
+        )
         calib.update(
             spread_scale=float(scale),
             calibration_in_sample=(holdout_i == 0),
@@ -196,12 +213,21 @@ def main(argv=None) -> dict:
             crps_holdout_recalibrated=float(
                 np.mean(np.asarray(ensemble_crps(m_cal, hf_h)))
             ),
+            interval_scales={
+                f"{q:.2f}": float(s)
+                for q, s in zip(_COVERAGE_LEVELS, np.asarray(iscales))
+            },
+            coverage_holdout_per_level={
+                f"{q:.2f}": float(c)
+                for q, c in zip(_COVERAGE_LEVELS, np.asarray(cov_q))
+            },
         )
         plot_reliability(
             out_dir,
             np.asarray(_COVERAGE_LEVELS),
             np.asarray(cov_raw),
             recalibrated=np.asarray(cov_cal),
+            per_level=np.asarray(cov_q),
             suffix="_holdout",
         )
     # Figure matches the metric: averaged over ALL test trajectories.

@@ -2,7 +2,12 @@
 statistics (TKE, velocity moments), held-out NLL, figures
 (SURVEY.md L5 / §3.2 call stack)."""
 
-from tpuflow.eval.calibrate import fit_spread_scale, scale_members
+from tpuflow.eval.calibrate import (
+    fit_interval_scales,
+    fit_spread_scale,
+    scale_members,
+    scaled_interval_coverage,
+)
 from tpuflow.eval.rollout import (
     make_batched_ensemble_rollout,
     make_ensemble_rollout,
@@ -26,6 +31,8 @@ __all__ = [
     "make_batched_ensemble_rollout",
     "make_nll_eval",
     "fit_spread_scale",
+    "fit_interval_scales",
+    "scaled_interval_coverage",
     "scale_members",
     "tke_field",
     "total_variance",

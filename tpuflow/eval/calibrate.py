@@ -22,6 +22,7 @@ cli/rollout.py), so calibrated UQ costs nothing at deployment.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -64,3 +65,57 @@ def scale_members(
     """
     mean = jnp.mean(members, axis=axis, keepdims=True)
     return mean + scale * (members - mean)
+
+
+def fit_interval_scales(
+    members: jnp.ndarray,
+    ref: jnp.ndarray,
+    levels: tuple[float, ...] = (0.5, 0.8, 0.9, 0.95),
+    axis: int = 0,
+) -> jnp.ndarray:
+    """Per-level interval recalibration (quantile-map form).
+
+    A single spread factor calibrates ALL central intervals only when
+    the z-scores are Gaussian; measured TM-Glow residuals are
+    heavy-tailed (docs/PARITY.md), so one factor that fixes the 50%
+    interval still under-covers at 95%. Following the recalibration
+    recipe of Kuleshov et al. 2018 adapted to central intervals: for
+    each nominal level q, the factor
+
+        s_q = quantile(|z|, q) / ndtri((1 + q) / 2)
+
+    makes the two-moment interval  mean +- s_q * ndtri((1+q)/2) * std
+    cover exactly q on the fit data, whatever the z distribution.
+    Deploy by widening each reported interval with its own s_q (the
+    two-moment rollout stats are all that's needed).
+
+    Returns: (len(levels),) array of per-level factors s_q.
+    """
+    x = jnp.moveaxis(members, axis, 0)
+    if x.shape[0] < 2:
+        raise ValueError(
+            f"fit_interval_scales needs >= 2 members (got {x.shape[0]})"
+        )
+    z = jnp.abs(ref - x.mean(axis=0)) / (x.std(axis=0) + 1e-20)
+    qs = jnp.asarray(levels)
+    return jnp.quantile(z.ravel(), qs) / jax.scipy.special.ndtri(
+        0.5 + qs / 2.0
+    )
+
+
+def scaled_interval_coverage(
+    mean: jnp.ndarray,
+    var: jnp.ndarray,
+    ref: jnp.ndarray,
+    scales: jnp.ndarray,
+    levels: tuple[float, ...] = (0.5, 0.8, 0.9, 0.95),
+) -> jnp.ndarray:
+    """Empirical coverage of per-level recalibrated two-moment
+    intervals mean +- s_q * ndtri((1+q)/2) * std — the deployment-side
+    companion of ``fit_interval_scales`` (needs only rollout stats)."""
+    z = jnp.abs(ref - mean) / jnp.sqrt(var + 1e-20)
+    out = []
+    for q, s in zip(levels, scales):
+        thresh = s * jax.scipy.special.ndtri(0.5 + q / 2.0)
+        out.append(jnp.mean(z <= thresh))
+    return jnp.stack(out)

@@ -170,6 +170,7 @@ def plot_reliability(
     empirical: np.ndarray,
     label: str = "ensemble",
     recalibrated: np.ndarray | None = None,
+    per_level: np.ndarray | None = None,
     suffix: str = "",
 ) -> pathlib.Path:
     """Reliability diagram: empirical coverage of central predictive
@@ -183,6 +184,8 @@ def plot_reliability(
     ax.plot(levels, empirical, "o-", label=label)
     if recalibrated is not None:
         ax.plot(levels, recalibrated, "s-", label="recalibrated")
+    if per_level is not None:
+        ax.plot(levels, per_level, "^-", label="per-level recal.")
     ax.set_xlabel("nominal coverage")
     ax.set_ylabel("empirical coverage")
     ax.set_xlim(0, 1)
