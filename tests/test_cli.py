@@ -68,6 +68,8 @@ def test_cli_train_rollout_evaluate_pipeline(tmp_path):
     assert not emetrics["calibration_in_sample"]
     assert 0.0 <= emetrics["coverage_holdout_recalibrated"]["0.90"] <= 1.0
     assert np.isfinite(emetrics["crps_holdout_recalibrated"])
+    assert np.isfinite(emetrics["skew_mae"])
+    assert np.isfinite(emetrics["kurt_mae"])
     assert all(s > 0 for s in emetrics["interval_scales"].values())
     assert 0.0 <= emetrics["coverage_holdout_per_level"]["0.90"] <= 1.0
     assert (out_dir / "reliability_holdout.png").exists()

@@ -44,6 +44,7 @@ from tpuflow.eval.stats import (
     relative_l2,
     tke_field,
     total_variance,
+    velocity_moments,
 )
 
 _COVERAGE_LEVELS = (0.5, 0.8, 0.9, 0.95)
@@ -171,6 +172,19 @@ def main(argv=None) -> dict:
             ),
             "calibration_steps": t_cal,
         }
+        # Higher velocity moments (the reference's moment curves,
+        # arXiv:2006.04731 §4): predicted (ensemble x time) skewness /
+        # kurtosis fields vs the HF temporal ones, velocity channels
+        # only. Mean absolute error (skew is signed around 0, so a
+        # relative norm is ill-posed).
+        mom_pred = velocity_moments(members[..., :2], axes=(0, 1))
+        mom_ref = velocity_moments(hf0[..., :2], axes=(0,))
+        calib["skew_mae"] = float(
+            jnp.abs(mom_pred["skew"] - mom_ref["skew"]).mean()
+        )
+        calib["kurt_mae"] = float(
+            jnp.abs(mom_pred["kurt"] - mom_ref["kurt"]).mean()
+        )
         # Post-hoc spread recalibration (eval/calibrate.py): fit the
         # inflation factor on trajectory 0, report recalibrated
         # coverage/CRPS on the held-out trajectory 1 (disjoint fit /
