@@ -212,6 +212,18 @@ def main(argv=None) -> dict:
             iscales,
             levels=_COVERAGE_LEVELS,
         )
+        # Fair single-factor baseline on the SAME two-moment interval
+        # construction (what the deployed var*s^2 path produces) — the
+        # ensemble-quantile curves above use empirical member quantiles,
+        # a different interval construction, so comparing per-level
+        # against them would conflate recalibration with construction.
+        cov_s1 = scaled_interval_coverage(
+            m_h.mean(axis=0),
+            m_h.var(axis=0),
+            hf_h,
+            jnp.full(len(_COVERAGE_LEVELS), scale),
+            levels=_COVERAGE_LEVELS,
+        )
         calib.update(
             spread_scale=float(scale),
             calibration_in_sample=(holdout_i == 0),
@@ -234,6 +246,10 @@ def main(argv=None) -> dict:
             coverage_holdout_per_level={
                 f"{q:.2f}": float(c)
                 for q, c in zip(_COVERAGE_LEVELS, np.asarray(cov_q))
+            },
+            coverage_holdout_single_factor={
+                f"{q:.2f}": float(c)
+                for q, c in zip(_COVERAGE_LEVELS, np.asarray(cov_s1))
             },
         )
         plot_reliability(

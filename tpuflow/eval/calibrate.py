@@ -22,7 +22,6 @@ cli/rollout.py), so calibrated UQ costs nothing at deployment.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 
@@ -49,8 +48,7 @@ def fit_spread_scale(
     # accumulates jnp.var (population variance), and eval.spread_scale
     # multiplies THAT by s^2 — fitting against a ddof=1 std would leave
     # deployed two-moment intervals sqrt((N-1)/N) too narrow.
-    std = x.std(axis=0)
-    z = (ref - mean) / (std + 1e-20)
+    z = (ref - mean) / jnp.sqrt(x.var(axis=0) + 1e-20)
     return jnp.sqrt(jnp.mean(z * z))
 
 
@@ -91,16 +89,19 @@ def fit_interval_scales(
 
     Returns: (len(levels),) array of per-level factors s_q.
     """
+    from tpuflow.eval.stats import interval_z
+
     x = jnp.moveaxis(members, axis, 0)
     if x.shape[0] < 2:
         raise ValueError(
             f"fit_interval_scales needs >= 2 members (got {x.shape[0]})"
         )
-    z = jnp.abs(ref - x.mean(axis=0)) / (x.std(axis=0) + 1e-20)
+    # Same variance floor as the evaluation side (stats.gaussian_coverage
+    # / scaled_interval_coverage): degenerate zero-spread points (masked
+    # solid regions) must z-score identically at fit and deploy time.
+    z = jnp.abs(ref - x.mean(axis=0)) / jnp.sqrt(x.var(axis=0) + 1e-20)
     qs = jnp.asarray(levels)
-    return jnp.quantile(z.ravel(), qs) / jax.scipy.special.ndtri(
-        0.5 + qs / 2.0
-    )
+    return jnp.quantile(z.ravel(), qs) / interval_z(qs)
 
 
 def scaled_interval_coverage(
@@ -111,11 +112,10 @@ def scaled_interval_coverage(
     levels: tuple[float, ...] = (0.5, 0.8, 0.9, 0.95),
 ) -> jnp.ndarray:
     """Empirical coverage of per-level recalibrated two-moment
-    intervals mean +- s_q * ndtri((1+q)/2) * std — the deployment-side
-    companion of ``fit_interval_scales`` (needs only rollout stats)."""
-    z = jnp.abs(ref - mean) / jnp.sqrt(var + 1e-20)
-    out = []
-    for q, s in zip(levels, scales):
-        thresh = s * jax.scipy.special.ndtri(0.5 + q / 2.0)
-        out.append(jnp.mean(z <= thresh))
-    return jnp.stack(out)
+    intervals mean +- s_q * interval_z(q) * std — the deployment-side
+    companion of ``fit_interval_scales`` (needs only rollout stats).
+    Thin wrapper over ``stats.gaussian_coverage(scales=...)`` so both
+    interval constructions share one implementation."""
+    from tpuflow.eval.stats import gaussian_coverage
+
+    return gaussian_coverage(mean, var, ref, levels, scales=scales)

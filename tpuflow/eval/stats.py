@@ -180,20 +180,33 @@ def ensemble_coverage(
     return jnp.stack(out)
 
 
+def interval_z(q) -> jnp.ndarray:
+    """Two-sided Gaussian z threshold of the central q-interval,
+    ndtri((1+q)/2) — the single shared level-to-threshold mapping used
+    by both the fit side (calibrate.fit_interval_scales) and the
+    evaluation side (gaussian_coverage); keeping one definition is what
+    makes fitted factors and evaluated thresholds cancel exactly."""
+    return jax.scipy.special.ndtri(0.5 + jnp.asarray(q) / 2.0)
+
+
 def gaussian_coverage(
     mean: jnp.ndarray,
     var: jnp.ndarray,
     ref: jnp.ndarray,
     levels: tuple[float, ...] = (0.5, 0.8, 0.9, 0.95),
+    scales=None,
 ) -> jnp.ndarray:
     """Coverage under a Gaussian predictive N(mean, var) — the
     two-moment companion of ``ensemble_coverage`` (works directly on
-    the rollout stats mode's mean/var)."""
+    the rollout stats mode's mean/var). ``scales`` optionally widens
+    each level's interval by its own factor (per-level recalibration,
+    see calibrate.fit_interval_scales); None = 1 everywhere."""
     z = jnp.abs(ref - mean) / jnp.sqrt(var + 1e-20)
+    if scales is None:
+        scales = jnp.ones(len(levels))
     out = []
-    for q in levels:
-        thresh = jax.scipy.special.ndtri(0.5 + q / 2.0)
-        out.append(jnp.mean(z <= thresh))
+    for q, s in zip(levels, scales):
+        out.append(jnp.mean(z <= s * interval_z(q)))
     return jnp.stack(out)
 
 
