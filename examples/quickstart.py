@@ -54,6 +54,14 @@ ev = evaluate_main(small)
 print(json.dumps({k: ev[k] for k in (
     "test_bpd", "field_rel_l2_mean", "tke_rel_l2_mean", "crps_mean",
     "spread_scale")}, indent=1))
+print("   held-out coverage at nominal 0.50/0.80/0.90/0.95:")
+for label, key in [
+    ("raw ensemble   ", "coverage_holdout_raw"),
+    ("single factor  ", "coverage_holdout_single_factor"),
+    ("per-level recal", "coverage_holdout_per_level"),
+]:
+    vals = "/".join(f"{v:.2f}" for v in ev[key].values())
+    print(f"     {label}: {vals}")
 
 print("== 4. Deploy the fitted UQ recalibration for free")
 # Separate output dir so step 2's raw stats/figures stay inspectable;
