@@ -186,17 +186,25 @@ def main(argv=None) -> dict:
             jnp.abs(mom_pred["kurt"] - mom_ref["kurt"]).mean()
         )
         # Post-hoc spread recalibration (eval/calibrate.py): fit the
-        # inflation factor on trajectory 0, report recalibrated
-        # coverage/CRPS on the held-out trajectory 1 (disjoint fit /
-        # eval; falls back to in-sample with a flag when only one test
-        # trajectory exists). The fitted scale deploys for free via the
-        # eval.spread_scale config (rollout stats: var * s^2).
-        scale = fit_spread_scale(members, hf0)
-        holdout_i = 1 if ds.n_traj > 1 else 0
-        if holdout_i == 0:
+        # inflation factor on the even-indexed test trajectories and
+        # report recalibrated coverage/CRPS pooled over the odd-indexed
+        # ones (disjoint fit/eval; trajectory-to-trajectory dispersion
+        # varies, so a multi-trajectory fit transfers better than a
+        # single-trajectory one; falls back to in-sample with a flag
+        # when only one test trajectory exists). The fitted scale
+        # deploys for free via eval.spread_scale (rollout var * s^2).
+        fit_idx = list(range(0, ds.n_traj, 2))
+        hold_idx = list(range(1, ds.n_traj, 2))
+        fit_sets = [(members, hf0)] + [_members_for(i) for i in fit_idx[1:]]
+        m_f = jnp.concatenate([m for m, _ in fit_sets], axis=1)
+        hf_f = jnp.concatenate([h for _, h in fit_sets], axis=0)
+        scale = fit_spread_scale(m_f, hf_f)
+        if not hold_idx:
             m_h, hf_h = members, hf0
         else:
-            m_h, hf_h = _members_for(holdout_i)
+            hold_sets = [_members_for(i) for i in hold_idx]
+            m_h = jnp.concatenate([m for m, _ in hold_sets], axis=1)
+            hf_h = jnp.concatenate([h for _, h in hold_sets], axis=0)
         m_cal = scale_members(m_h, scale)
         cov_raw = ensemble_coverage(m_h, hf_h, levels=_COVERAGE_LEVELS)
         cov_cal = ensemble_coverage(m_cal, hf_h, levels=_COVERAGE_LEVELS)
@@ -204,7 +212,7 @@ def main(argv=None) -> dict:
         # calibrates every level for Gaussian z; measured residuals are
         # heavy-tailed, so each level gets its own factor s_q (fit on
         # trajectory 0, applied to the holdout's two-moment stats).
-        iscales = fit_interval_scales(members, hf0, levels=_COVERAGE_LEVELS)
+        iscales = fit_interval_scales(m_f, hf_f, levels=_COVERAGE_LEVELS)
         cov_q = scaled_interval_coverage(
             m_h.mean(axis=0),
             m_h.var(axis=0),
@@ -226,7 +234,7 @@ def main(argv=None) -> dict:
         )
         calib.update(
             spread_scale=float(scale),
-            calibration_in_sample=(holdout_i == 0),
+            calibration_in_sample=(not hold_idx),
             coverage_holdout_raw={
                 f"{q:.2f}": float(c)
                 for q, c in zip(_COVERAGE_LEVELS, np.asarray(cov_raw))
