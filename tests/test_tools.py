@@ -103,3 +103,66 @@ def test_validation_catches_mismatch():
     cfg = CaseConfig(name="backward-step", model=MC, data=DataConfig())
     problems = _validate_against_model(converted, cfg)
     assert any("missing" in p for p in problems)
+
+
+def test_export_rollout_roundtrip(tmp_path):
+    """jax.export serving artifact: serialize the rollout (weights +
+    denormalization baked in), deserialize WITHOUT any tpuflow code
+    path, and reproduce the in-process rollout exactly."""
+    import pathlib
+
+    import jax
+    import numpy as np
+    from jax import export as jax_export
+
+    from tpuflow.cli.train import main as train_main
+    from tpuflow.tools.export_rollout import main as export_main
+
+    overrides = [
+        "backward-step",
+        "model.n_scales=2", "model.n_flow_steps=2", "model.coupling_width=8",
+        "model.coupling_layers=2", "model.growth_rate=4",
+        "model.encoder_width=8", "model.lstm_hidden=8", "model.cond_channels=8",
+        "model.hf_shape=16,32", "model.lf_shape=4,8",
+        "model.compute_dtype=float32", "model.use_pallas=false",
+        "data.n_train_traj=4", "data.n_test_traj=2", "data.train_steps=8",
+        "data.window=4", "data.batch_size=4",
+        f"train.checkpoint_dir={tmp_path}/ckpt",
+        "train.epochs=1", "train.checkpoint_every=1", "train.log_every=1000",
+        "eval.rollout_steps=6", "eval.n_samples=4",
+        f"eval.output_dir={tmp_path}/eval",
+    ]
+    train_main(overrides)
+    out = export_main(overrides + ["export_platforms=cpu"])
+    assert out.exists() and out.stat().st_size > 1000
+
+    # Serving side (load_artifact = deserialize + the LAPACK
+    # registration warmup a fresh serving process needs).
+    from tpuflow.tools.export_rollout import load_artifact
+
+    fn = load_artifact(out)
+    from tpuflow.cli import parse_args
+    from tpuflow.data.dataset import load_dataset
+    from tpuflow.eval.loading import load_eval_bundle
+    from tpuflow.eval.rollout import make_ensemble_rollout
+
+    cfg = parse_args(overrides)
+    model, variables, norm = load_eval_bundle(cfg)
+    ds = load_dataset(cfg.data, cfg.model, "test", norm=norm)
+    lf = np.asarray(ds.lf[0, :6], dtype=np.float32)
+
+    served = fn.call(lf, np.uint32(7))
+    rollout = jax.jit(
+        make_ensemble_rollout(model, 4, cfg.eval.temperature, "stats")
+    )
+    ref = rollout(variables, lf, jax.random.PRNGKey(np.uint32(7)))
+    np.testing.assert_allclose(
+        np.asarray(served["mean"]),
+        ds.denorm_hf(np.asarray(ref["mean"])),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(served["var"]),
+        ds.denorm_hf_var(np.asarray(ref["var"])),
+        atol=1e-5,
+    )

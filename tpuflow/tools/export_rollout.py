@@ -1,0 +1,125 @@
+"""Export the ensemble rollout as a portable serving artifact.
+
+Production-serving path beyond the reference's Python-only inference
+scripts (SURVEY.md §3.2): `jax.export` lowers the jitted rollout —
+checkpoint weights baked in as constants, normalization folded into
+the exported graph — to serialized StableHLO that any JAX process can
+deserialize and call WITHOUT tpuflow, Flax, or the model code:
+
+    import jax, jax.numpy as jnp
+    from jax import export
+    # One-line warmup: lowering any LAPACK op in-process registers the
+    # CPU custom-call targets (LU solves inside the artifact) — without
+    # it, executing a deserialized artifact in a fresh process
+    # segfaults on this jaxlib (see load_artifact below).
+    jax.jit(jnp.linalg.inv).lower(jnp.eye(2)).compile()
+    fn = export.deserialize(pathlib.Path("rollout.jaxexport").read_bytes())
+    stats = fn.call(lf_traj, seed)        # physical-unit mean/var
+
+The artifact is lowered for both TPU and CPU by default, so the same
+file serves on-chip and in CPU fallback. Inputs: a normalized LF
+trajectory `(T, h, w, C)` float32 and a uint32 scalar PRNG seed;
+outputs: the stats-mode rollout dict (ensemble mean/var per step, in
+PHYSICAL units — denormalization is exported too).
+
+Usage: python -m tpuflow.tools.export_rollout <case> [key=value ...]
+       (out file: {eval.output_dir}/{case}/rollout.jaxexport;
+        override with export_path=...)
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from tpuflow.cli import parse_args
+from tpuflow.data.dataset import load_dataset
+from tpuflow.eval.loading import load_eval_bundle
+from tpuflow.eval.rollout import make_ensemble_rollout
+
+
+def build_exported(cfg, model, variables, ds, platforms=("tpu", "cpu")):
+    """Lower the stats-mode ensemble rollout to a jax.export Exported.
+
+    The returned artifact computes physical-unit ensemble stats from a
+    normalized LF trajectory: weights, temperature, ensemble size and
+    the dataset's denormalization constants are all baked in.
+    """
+    rollout = make_ensemble_rollout(
+        model, cfg.eval.n_samples, cfg.eval.temperature, collect="stats"
+    )
+    # Denormalization constants as closed-over arrays: the artifact
+    # returns PHYSICAL units (stats.py contract) with no tpuflow code
+    # on the serving side.
+    hf_sigma = jnp.asarray(ds.norm.hf_std)
+    hf_mu = jnp.asarray(ds.norm.hf_mean)
+
+    def serve(lf_traj, seed):
+        out = rollout(variables, lf_traj, jax.random.PRNGKey(seed))
+        return {
+            "mean": out["mean"] * hf_sigma + hf_mu,
+            "var": out["var"] * hf_sigma**2,
+        }
+
+    t = cfg.eval.rollout_steps
+    lf_spec = jax.ShapeDtypeStruct(
+        (t, *cfg.model.lf_shape, cfg.model.channels), jnp.float32
+    )
+    seed_spec = jax.ShapeDtypeStruct((), jnp.uint32)
+    return jax_export.export(jax.jit(serve), platforms=list(platforms))(
+        lf_spec, seed_spec
+    )
+
+
+def load_artifact(path):
+    """Deserialize a rollout artifact, ready to ``.call(lf, seed)``.
+
+    Performs the LAPACK registration warmup first: jaxlib only
+    registers the CPU custom-call targets (the LU solves baked into
+    the flow's 1x1 inverses) when a linalg op is lowered in-process;
+    executing a deserialized artifact without that registration
+    segfaults (measured on jaxlib in this image — minimal repro:
+    export jnp.linalg.solve, deserialize in a fresh process, call).
+    """
+    jax.jit(jnp.linalg.inv).lower(jnp.eye(2)).compile()
+    return jax_export.deserialize(pathlib.Path(path).read_bytes())
+
+
+def main(argv=None) -> pathlib.Path:
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    out_override = None
+    platforms = ("tpu", "cpu")
+    for a in list(argv):
+        if a.startswith("export_path="):
+            out_override = a.split("=", 1)[1]
+            argv.remove(a)
+        elif a.startswith("export_platforms="):
+            platforms = tuple(a.split("=", 1)[1].split(","))
+            argv.remove(a)
+    cfg = parse_args(argv)
+    model, variables, norm = load_eval_bundle(cfg)
+    ds = load_dataset(cfg.data, cfg.model, "test", norm=norm)
+
+    exp = build_exported(cfg, model, variables, ds, platforms)
+    out = (
+        pathlib.Path(out_override)
+        if out_override
+        else pathlib.Path(cfg.eval.output_dir) / cfg.name / "rollout.jaxexport"
+    )
+    out.parent.mkdir(parents=True, exist_ok=True)
+    data = exp.serialize()
+    out.write_bytes(data)
+    print(
+        f"exported {cfg.eval.rollout_steps}-step {cfg.eval.n_samples}-member "
+        f"rollout for {platforms} -> {out} ({len(data) / 1e6:.1f} MB)"
+    )
+    return out
+
+
+if __name__ == "__main__":
+    main()
