@@ -151,7 +151,7 @@ def test_export_rollout_roundtrip(tmp_path):
     ds = load_dataset(cfg.data, cfg.model, "test", norm=norm)
     lf = np.asarray(ds.lf[0, :6], dtype=np.float32)
 
-    served = fn.call(lf, np.uint32(7))
+    served = fn.call(lf, np.uint32(7), np.float32(cfg.eval.temperature))
     rollout = jax.jit(
         make_ensemble_rollout(model, 4, cfg.eval.temperature, "stats")
     )
@@ -166,3 +166,7 @@ def test_export_rollout_roundtrip(tmp_path):
         ds.denorm_hf_var(np.asarray(ref["var"])),
         atol=1e-5,
     )
+    # Temperature is a runtime argument of the artifact: tau=0 collapses
+    # the ensemble onto the conditional-prior mean (zero spread).
+    cold = fn.call(lf, np.uint32(7), np.float32(0.0))
+    assert float(np.asarray(cold["var"]).max()) < 1e-8

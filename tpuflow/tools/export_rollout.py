@@ -14,7 +14,7 @@ deserialize and call WITHOUT tpuflow, Flax, or the model code:
     # segfaults on this jaxlib (see load_artifact below).
     jax.jit(jnp.linalg.inv).lower(jnp.eye(2)).compile()
     fn = export.deserialize(pathlib.Path("rollout.jaxexport").read_bytes())
-    stats = fn.call(lf_traj, seed)        # physical-unit mean/var
+    stats = fn.call(lf_traj, seed, temperature)   # physical-unit mean/var
 
 The artifact is lowered for both TPU and CPU by default, so the same
 file serves on-chip and in CPU fallback. Inputs: a normalized LF
@@ -45,8 +45,11 @@ def build_exported(cfg, model, variables, ds, platforms=("tpu", "cpu")):
     """Lower the stats-mode ensemble rollout to a jax.export Exported.
 
     The returned artifact computes physical-unit ensemble stats from a
-    normalized LF trajectory: weights, temperature, ensemble size and
-    the dataset's denormalization constants are all baked in.
+    normalized LF trajectory: weights, ensemble size and the dataset's
+    denormalization constants are baked in; the sampling temperature
+    tau is a runtime argument (it is already a traced scalar in the
+    rollout, so temperature sweeps reuse the one artifact). Call as
+    ``fn.call(lf_traj, seed, temperature)``.
     """
     rollout = make_ensemble_rollout(
         model, cfg.eval.n_samples, cfg.eval.temperature, collect="stats"
@@ -57,8 +60,10 @@ def build_exported(cfg, model, variables, ds, platforms=("tpu", "cpu")):
     hf_sigma = jnp.asarray(ds.norm.hf_std)
     hf_mu = jnp.asarray(ds.norm.hf_mean)
 
-    def serve(lf_traj, seed):
-        out = rollout(variables, lf_traj, jax.random.PRNGKey(seed))
+    def serve(lf_traj, seed, temperature):
+        out = rollout(
+            variables, lf_traj, jax.random.PRNGKey(seed), temperature
+        )
         return {
             "mean": out["mean"] * hf_sigma + hf_mu,
             "var": out["var"] * hf_sigma**2,
@@ -69,13 +74,14 @@ def build_exported(cfg, model, variables, ds, platforms=("tpu", "cpu")):
         (t, *cfg.model.lf_shape, cfg.model.channels), jnp.float32
     )
     seed_spec = jax.ShapeDtypeStruct((), jnp.uint32)
+    tau_spec = jax.ShapeDtypeStruct((), jnp.float32)
     return jax_export.export(jax.jit(serve), platforms=list(platforms))(
-        lf_spec, seed_spec
+        lf_spec, seed_spec, tau_spec
     )
 
 
 def load_artifact(path):
-    """Deserialize a rollout artifact, ready to ``.call(lf, seed)``.
+    """Deserialize a rollout artifact, ready to ``.call(lf, seed, tau)``.
 
     Performs the LAPACK registration warmup first: jaxlib only
     registers the CPU custom-call targets (the LU solves baked into
