@@ -18,7 +18,6 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _lu_init(rng: jax.Array, c: int):
