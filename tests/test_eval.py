@@ -13,6 +13,7 @@ from tpuflow.eval import (
     make_ensemble_rollout,
     make_nll_eval,
     relative_l2,
+    reynolds_stress_uv,
     tke_field,
     velocity_moments,
 )
@@ -96,6 +97,22 @@ def test_physics_stats():
 
     err = relative_l2(es["mean"], jnp.zeros_like(es["mean"]) + 1.0)
     assert np.isfinite(float(err))
+
+
+def test_reynolds_stress_uv():
+    """<u'v'> matches the per-point covariance: exact for v = a*u + b
+    (cov = a*var(u)), ~0 for independent channels."""
+    rng = np.random.default_rng(1)
+    u = rng.normal(size=(N, T, 8, 8)).astype(np.float32)
+    w = rng.normal(size=(N, T, 8, 8)).astype(np.float32)  # independent of u
+    fields = np.stack([u, 2.0 * u + 3.0, w], axis=-1)
+    rs = np.asarray(reynolds_stress_uv(jnp.asarray(fields), axes=(0, 1)))
+    assert rs.shape == (8, 8)
+    np.testing.assert_allclose(rs, 2.0 * u.var(axis=(0, 1)), rtol=1e-4)
+    rs_indep = np.asarray(
+        reynolds_stress_uv(jnp.asarray(fields[..., [0, 2]]), axes=(0, 1))
+    )
+    assert np.abs(rs_indep).mean() < 5.0 / np.sqrt(N * T)
 
 
 def test_long_horizon_rollout_stats_mode():

@@ -42,6 +42,7 @@ from tpuflow.eval.stats import (
     ensemble_coverage,
     ensemble_crps,
     relative_l2,
+    reynolds_stress_uv,
     tke_field,
     total_variance,
     velocity_moments,
@@ -184,6 +185,15 @@ def main(argv=None) -> dict:
         )
         calib["kurt_mae"] = float(
             jnp.abs(mom_pred["kurt"] - mom_ref["kurt"]).mean()
+        )
+        # Reynolds shear stress <u'v'> (the off-diagonal second moment;
+        # TKE above is the diagonal): predicted ensemble x time
+        # covariance field vs the HF temporal one.
+        calib["reynolds_uv_rel_l2"] = float(
+            relative_l2(
+                reynolds_stress_uv(members, axes=(0, 1)),
+                reynolds_stress_uv(hf0, axes=(0,)),
+            )
         )
         # Post-hoc spread recalibration (eval/calibrate.py): fit the
         # inflation factor on the even-indexed test trajectories and

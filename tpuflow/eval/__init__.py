@@ -17,6 +17,7 @@ from tpuflow.eval.stats import (
     tke_field,
     total_variance,
     velocity_moments,
+    reynolds_stress_uv,
     relative_l2,
     ensemble_stats,
     energy_spectrum,
@@ -38,6 +39,7 @@ __all__ = [
     "total_variance",
     "velocity_moments",
     "relative_l2",
+    "reynolds_stress_uv",
     "ensemble_stats",
     "energy_spectrum",
     "ensemble_crps",

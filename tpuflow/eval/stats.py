@@ -65,6 +65,28 @@ def velocity_moments(
     }
 
 
+def reynolds_stress_uv(
+    fields: jnp.ndarray, axes: tuple[int, ...] = (0,)
+) -> jnp.ndarray:
+    """Reynolds shear stress <u'v'> over ``axes`` (ensemble and/or time).
+
+    The off-diagonal Reynolds-stress tensor component — the shear
+    counterpart of TKE (which is half the tensor's trace, tke_field) in
+    the reference's physics comparisons (arXiv:2006.04731 §4 family of
+    second-moment statistics).
+
+    Args:
+      fields: (..., C>=2) velocity fields, channels (u, v[, ...]).
+
+    Returns:
+      (...,) covariance of the u and v fluctuations over ``axes``.
+    """
+    u, v = fields[..., 0], fields[..., 1]
+    du = u - jnp.mean(u, axis=axes, keepdims=True)
+    dv = v - jnp.mean(v, axis=axes, keepdims=True)
+    return jnp.mean(du * dv, axis=axes)
+
+
 def relative_l2(pred: jnp.ndarray, ref: jnp.ndarray, axes=None) -> jnp.ndarray:
     """||pred - ref||_2 / ||ref||_2 over ``axes`` (default: all)."""
     if axes is None:
