@@ -16,6 +16,7 @@ from tpuflow.eval import (
     reynolds_stress_uv,
     tke_field,
     velocity_moments,
+    vorticity,
 )
 from tpuflow.models import TMGlow, init_lstm_state
 
@@ -113,6 +114,29 @@ def test_reynolds_stress_uv():
         reynolds_stress_uv(jnp.asarray(fields[..., [0, 2]]), axes=(0, 1))
     )
     assert np.abs(rs_indep).mean() < 5.0 / np.sqrt(N * T)
+
+
+def test_vorticity_analytic_fields():
+    """w = dv/dx - du/dy on closed-form flows: solid-body rotation
+    (u=-y, v=x) has w=2 everywhere; a pure shear (u=y, v=0) has w=-1;
+    batch axes pass through."""
+    h, w = 12, 10
+    y = np.arange(h, dtype=np.float32)[:, None] * np.ones((1, w), np.float32)
+    x = np.ones((h, 1), np.float32) * np.arange(w, dtype=np.float32)[None, :]
+    p = np.zeros((h, w), np.float32)
+    rotation = np.stack([-y, x, p], axis=-1)
+    shear = np.stack([y, np.zeros_like(x), p], axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(vorticity(jnp.asarray(rotation))), 2.0, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(vorticity(jnp.asarray(shear))), -1.0, atol=1e-5
+    )
+    batched = jnp.asarray(np.stack([rotation, shear], axis=0)[None])
+    out = np.asarray(vorticity(batched))
+    assert out.shape == (1, 2, h, w)
+    np.testing.assert_allclose(out[0, 0], 2.0, atol=1e-5)
+    np.testing.assert_allclose(out[0, 1], -1.0, atol=1e-5)
 
 
 def test_long_horizon_rollout_stats_mode():

@@ -31,6 +31,7 @@ from tpuflow.eval.plots import (
     plot_nll_curve,
     plot_reliability,
     plot_tke,
+    plot_vorticity,
 )
 from tpuflow.eval.rollout import (
     make_batched_ensemble_rollout,
@@ -46,6 +47,7 @@ from tpuflow.eval.stats import (
     tke_field,
     total_variance,
     velocity_moments,
+    vorticity,
 )
 
 _COVERAGE_LEVELS = (0.5, 0.8, 0.9, 0.95)
@@ -96,8 +98,9 @@ def main(argv=None) -> dict:
     # Physics statistics are computed in PHYSICAL units (the dataset
     # holds normalized fields; per-channel sigma differs, so normalized
     # TKE would reweight u/v fluctuations — stats.py contract).
-    tke_errs, mean_errs, var_mean = [], [], []
+    tke_errs, mean_errs, var_mean, vort_errs = [], [], [], []
     tke_pred_sum = tke_ref_sum = None
+    vort_fig = None
     for i in range(ds.n_traj):
         mean = jnp.asarray(ds.denorm_hf(means[i]))
         var = jnp.asarray(ds.denorm_hf_var(vars_[i]))
@@ -109,6 +112,14 @@ def main(argv=None) -> dict:
         tke_errs.append(float(relative_l2(tke_pred, tke_ref)))
         mean_errs.append(float(relative_l2(mean, hf)))
         var_mean.append(float(var.mean()))
+        # Instantaneous vorticity of the ensemble-mean prediction vs HF
+        # over the whole horizon (the reference's cylinder-array contour
+        # comparison, arXiv:2006.04731 §4, as a scalar error norm).
+        vort_pred = vorticity(mean)
+        vort_ref = vorticity(hf)
+        vort_errs.append(float(relative_l2(vort_pred, vort_ref)))
+        if i == 0:
+            vort_fig = (np.asarray(vort_pred[T - 1]), np.asarray(vort_ref[T - 1]))
         tke_pred_sum = tke_pred if tke_pred_sum is None else tke_pred_sum + tke_pred
         tke_ref_sum = tke_ref if tke_ref_sum is None else tke_ref_sum + tke_ref
 
@@ -278,6 +289,8 @@ def main(argv=None) -> dict:
             per_level=np.asarray(cov_q),
             suffix="_holdout",
         )
+    if vort_fig is not None:
+        plot_vorticity(out_dir, vort_fig[0], vort_fig[1], t=T - 1)
     # Figure matches the metric: averaged over ALL test trajectories.
     plot_tke(
         out_dir,
@@ -290,6 +303,7 @@ def main(argv=None) -> dict:
         "test_bpd_last_step": float(bpd_per_step[-1]),
         "tke_rel_l2_mean": float(np.mean(tke_errs)),
         "field_rel_l2_mean": float(np.mean(mean_errs)),
+        "vorticity_rel_l2_mean": float(np.mean(vort_errs)),
         "ensemble_var_mean": float(np.mean(var_mean)),
         "n_test_traj": ds.n_traj,
         "steps": T,

@@ -25,6 +25,7 @@ from tpuflow.eval.stats import (
     gaussian_crps,
     ensemble_coverage,
     gaussian_coverage,
+    vorticity,
 )
 
 __all__ = [
@@ -46,4 +47,5 @@ __all__ = [
     "gaussian_crps",
     "ensemble_coverage",
     "gaussian_coverage",
+    "vorticity",
 ]

@@ -78,6 +78,28 @@ def plot_tke(
     return path
 
 
+def plot_vorticity(
+    out_dir: str | pathlib.Path,
+    vort_pred: np.ndarray,  # (H, W)
+    vort_ref: np.ndarray,   # (H, W)
+    t: int,
+) -> pathlib.Path:
+    """Instantaneous vorticity contours, predicted mean vs HF — the
+    reference's cylinder-array comparison figure (arXiv:2006.04731 §4)."""
+    out_dir = pathlib.Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    fig, axes = plt.subplots(1, 3, figsize=(12, 3.2))
+    vmax = float(np.abs(vort_ref).max()) or 1.0
+    _panel(axes[0], vort_ref, "vorticity (HF reference)", vlim=(-vmax, vmax))
+    _panel(axes[1], vort_pred, "vorticity (pred mean)", vlim=(-vmax, vmax))
+    _panel(axes[2], vort_pred - vort_ref, "vorticity error")
+    fig.suptitle(f"t={t}", fontsize=10)
+    path = out_dir / f"vorticity_t{t:04d}.png"
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def plot_samples_grid(
     out_dir: str | pathlib.Path,
     samples: np.ndarray,   # (N, H, W, C) ensemble member fields at one t

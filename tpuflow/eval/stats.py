@@ -87,6 +87,27 @@ def reynolds_stress_uv(
     return jnp.mean(du * dv, axis=axes)
 
 
+def vorticity(fields: jnp.ndarray) -> jnp.ndarray:
+    """Out-of-plane vorticity w = dv/dx - du/dy of 2D velocity fields.
+
+    The reference's cylinder-array comparison figures are instantaneous
+    vorticity contours (arXiv:2006.04731 §4); this is the field they
+    plot. Central differences on the uniform training grid with unit
+    spacing — physical dx only rescales w by a constant, which cancels
+    in the relative error norms used downstream.
+
+    Args:
+      fields: (..., H, W, C>=2) velocity fields; axis -3 is y (rows),
+        axis -2 is x (columns), channels (u, v[, ...]).
+
+    Returns:
+      (..., H, W) vorticity.
+    """
+    dv_dx = jnp.gradient(fields[..., 1], axis=-1)
+    du_dy = jnp.gradient(fields[..., 0], axis=-2)
+    return dv_dx - du_dy
+
+
 def relative_l2(pred: jnp.ndarray, ref: jnp.ndarray, axes=None) -> jnp.ndarray:
     """||pred - ref||_2 / ||ref||_2 over ``axes`` (default: all)."""
     if axes is None:
