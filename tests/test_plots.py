@@ -7,10 +7,12 @@ from tpuflow.eval.plots import (
     plot_nll_curve,
     plot_prediction_panels,
     plot_energy_spectrum,
+    plot_probe_timeseries,
     plot_profiles,
     plot_reliability,
     plot_samples_grid,
     plot_tke,
+    plot_vorticity,
 )
 
 H, W, C = 16, 32, 3
@@ -41,6 +43,13 @@ def test_all_figures_written(tmp_path):
             np.array([0.5, 0.8, 0.9, 0.95]),
             np.array([0.48, 0.77, 0.91, 0.96]),
         ),
+        plot_probe_timeseries(
+            tmp_path,
+            rng.normal(size=(12, H, W, C)).astype(np.float32),
+            rng.random((12, H, W, C)).astype(np.float32),
+            rng.normal(size=(12, H, W, C)).astype(np.float32),
+        ),
+        plot_vorticity(tmp_path, mean[..., 0], hf[..., 0], t=3),
     ]
     for p in paths:
         assert p.exists() and p.stat().st_size > 1000, p

@@ -24,12 +24,14 @@ from tpuflow.data.dataset import load_dataset
 from tpuflow.eval.loading import load_eval_bundle
 from tpuflow.eval.plots import (
     plot_prediction_panels,
+    plot_probe_timeseries,
     plot_profiles,
     plot_samples_grid,
     plot_tke,
+    plot_vorticity,
 )
 from tpuflow.eval.rollout import make_ensemble_rollout
-from tpuflow.eval.stats import tke_field, total_variance
+from tpuflow.eval.stats import tke_field, total_variance, vorticity
 from tpuflow.utils.profiling import step_timer
 
 
@@ -108,6 +110,13 @@ def main(argv=None) -> dict:
     t_mid = T // 2
     plot_profiles(
         out_dir, mean[t_mid], np.sqrt(var_cal[t_mid]), hf_phys[t_mid]
+    )
+    plot_probe_timeseries(out_dir, mean, np.sqrt(var_cal), hf_phys)
+    plot_vorticity(
+        out_dir,
+        np.asarray(vorticity(jnp.asarray(mean[T - 1]))),
+        np.asarray(vorticity(jnp.asarray(hf_phys[T - 1]))),
+        t=T - 1,
     )
 
     # Individual member samples (small fields-mode rollout to t_mid+1).

@@ -162,6 +162,43 @@ def plot_profiles(
     return path
 
 
+def plot_probe_timeseries(
+    out_dir: str | pathlib.Path,
+    mean: np.ndarray,      # (T, H, W, C) predicted ensemble mean
+    std: np.ndarray,       # (T, H, W, C) predicted ensemble std
+    hf: np.ndarray,        # (T, H, W, C) HF reference
+    probes=((0.5, 0.25), (0.5, 0.5), (0.5, 0.75)),  # (y_frac, x_frac)
+    channel: int = 0,
+) -> pathlib.Path:
+    """Velocity/pressure time series at probe points with ±2σ bands vs
+    the HF reference (the reference paper's probe-signal figures —
+    tracks whether the autoregressive rollout stays locked to the HF
+    transient and whether the band covers it)."""
+    out_dir = pathlib.Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    name = _CHANNELS[channel]
+    t_ax = np.arange(mean.shape[0])
+    h, w = mean.shape[1:3]
+    fig, axes = plt.subplots(
+        len(probes), 1, figsize=(7, 2.2 * len(probes)), sharex=True
+    )
+    for ax, (yf, xf) in zip(np.atleast_1d(axes), probes):
+        yi, xi = int(yf * (h - 1)), int(xf * (w - 1))
+        m = mean[:, yi, xi, channel]
+        s = std[:, yi, xi, channel]
+        ax.fill_between(t_ax, m - 2 * s, m + 2 * s, alpha=0.3, label="±2σ")
+        ax.plot(t_ax, m, label="pred mean")
+        ax.plot(t_ax, hf[:, yi, xi, channel], "--", label="HF")
+        ax.set_title(f"{name}(t) at y/H={yf:.2f}, x/L={xf:.2f}", fontsize=9)
+        ax.grid(alpha=0.3)
+    np.atleast_1d(axes)[-1].set_xlabel("rollout step")
+    np.atleast_1d(axes)[0].legend(fontsize=8, ncol=3)
+    path = out_dir / f"probes_{name}.png"
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def plot_energy_spectrum(
     out_dir: str | pathlib.Path,
     k: np.ndarray,
