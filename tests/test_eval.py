@@ -139,6 +139,26 @@ def test_vorticity_analytic_fields():
     np.testing.assert_allclose(out[0, 1], -1.0, atol=1e-5)
 
 
+def test_vorticity_anisotropic_spacing():
+    """On an anisotropic grid (dx != dy, like the shipped 4x1-domain
+    cases) the physical spacings must weight the two gradient terms:
+    solid-body rotation sampled on physical coordinates only yields
+    w=2 when dx/dy are passed."""
+    h, w = 12, 24
+    dx, dy = 4.0 / w, 1.0 / h
+    ys = np.arange(h, dtype=np.float32)[:, None] * dy * np.ones((1, w), np.float32)
+    xs = np.ones((h, 1), np.float32) * np.arange(w, dtype=np.float32)[None, :] * dx
+    p = np.zeros((h, w), np.float32)
+    rotation = jnp.asarray(np.stack([-ys, xs, p], axis=-1))
+    np.testing.assert_allclose(
+        np.asarray(vorticity(rotation, dx=dx, dy=dy)), 2.0, atol=1e-4
+    )
+    # Unit spacing on the same samples mixes the terms as dx + dy != 2.
+    np.testing.assert_allclose(
+        np.asarray(vorticity(rotation)), dx + dy, atol=1e-4, rtol=0
+    )
+
+
 def test_long_horizon_rollout_stats_mode():
     """BASELINE stretch config #5 in miniature: a 256-step rollout in
     stats mode — O(1) scan memory, finite statistics throughout."""
@@ -270,6 +290,45 @@ def test_spread_scale_recovers_underdispersion():
     # Mean-preserving: field-error metrics unchanged by recalibration.
     np.testing.assert_allclose(
         np.asarray(cal).mean(0), members.mean(0), atol=1e-5
+    )
+
+
+def test_pooled_zscore_fit_matches_concatenated():
+    """The streaming multi-trajectory fit (pool per-trajectory z-scores,
+    then fit) must equal fitting on member fields concatenated along
+    time — the exact-pooling property cli/evaluate.py relies on to keep
+    one trajectory's members live at a time."""
+    from tpuflow.eval import (
+        ensemble_zscores,
+        fit_interval_scales,
+        fit_interval_scales_from_z,
+        fit_spread_scale,
+        fit_spread_scale_from_z,
+    )
+
+    rng = np.random.default_rng(7)
+    trajs = [
+        (
+            jnp.asarray(rng.normal(size=(16, 6, 8, 8)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(6, 8, 8)).astype(np.float32)),
+        )
+        for _ in range(3)
+    ]
+    m_cat = jnp.concatenate([m for m, _ in trajs], axis=1)
+    r_cat = jnp.concatenate([r for _, r in trajs], axis=0)
+    z_pool = jnp.concatenate(
+        [ensemble_zscores(m, r).ravel() for m, r in trajs]
+    )
+    np.testing.assert_allclose(
+        float(fit_spread_scale_from_z(z_pool)),
+        float(fit_spread_scale(m_cat, r_cat)),
+        rtol=1e-6,
+    )
+    levels = (0.5, 0.8, 0.9, 0.95)
+    np.testing.assert_allclose(
+        np.asarray(fit_interval_scales_from_z(z_pool, levels)),
+        np.asarray(fit_interval_scales(m_cat, r_cat, levels)),
+        rtol=1e-5,
     )
 
 

@@ -105,6 +105,65 @@ def test_validation_catches_mismatch():
     assert any("missing" in p for p in problems)
 
 
+def test_convert_main_produces_loadable_checkpoint(tmp_path):
+    """End-to-end: torch.save a full state_dict (params AND buffers —
+    torch state_dicts carry registered buffers like the inv-1x1 P /
+    sign factors), run the converter CLI, then restore through the
+    ordinary eval loading path and reproduce the source model's NLL."""
+    import jax.numpy as jnp
+
+    from tpuflow.eval.loading import load_eval_bundle
+    from tpuflow.tools.convert_torch import main as convert_main
+
+    model = TMGlow(MC)
+    hf = jax.random.normal(jax.random.PRNGKey(1), (1, *MC.hf_shape, 3))
+    lf = jax.random.normal(jax.random.PRNGKey(2), (1, *MC.lf_shape, 3))
+    variables = model.init(
+        jax.random.PRNGKey(0), hf, lf, init_lstm_state(MC, (1,))
+    )
+    sd = _params_to_torch_state_dict(variables["params"])
+    # Buffers convert with no layout rule (their leaves are not
+    # named weight/kernel).
+    for name, arr in _params_to_torch_state_dict(variables["buffers"]).items():
+        sd[name] = arr
+    pt = tmp_path / "source.pt"
+    torch.save(sd, pt)
+
+    overrides = [
+        "backward-step",
+        "model.n_scales=2", "model.n_flow_steps=2", "model.coupling_width=8",
+        "model.coupling_layers=2", "model.growth_rate=4",
+        "model.encoder_width=8", "model.lstm_hidden=8",
+        "model.cond_channels=8", "model.hf_shape=16,32", "model.lf_shape=4,8",
+        "model.compute_dtype=float32", "model.use_pallas=false",
+        "data.n_train_traj=2", "data.n_test_traj=1", "data.train_steps=4",
+        f"train.checkpoint_dir={tmp_path}/ckpt",
+    ]
+    out_dir = tmp_path / "ckpt" / "backward-step"
+    convert_main([str(pt), str(out_dir)] + overrides)
+
+    from tpuflow.cli import parse_args
+
+    cfg = parse_args(overrides)
+    model2, variables2, norm = load_eval_bundle(cfg)
+    assert norm is not None  # converter computed dataset constants
+    bpd_src, _ = model.apply(variables, hf, lf, init_lstm_state(MC, (1,)))
+    bpd_conv, _ = model2.apply(
+        variables2, hf, lf, init_lstm_state(MC, (1,))
+    )
+    np.testing.assert_allclose(
+        np.asarray(bpd_conv), np.asarray(bpd_src), rtol=1e-5
+    )
+    # Buffers really came from the dump, not a fresh seed.
+    p_src = jnp.asarray(
+        variables["buffers"]["glow"]["scale0_step0"]["invconv"]["p"]
+    )
+    p_conv = jnp.asarray(
+        variables2["buffers"]["glow"]["scale0_step0"]["invconv"]["p"]
+    )
+    np.testing.assert_array_equal(np.asarray(p_src), np.asarray(p_conv))
+
+
 def test_export_rollout_roundtrip(tmp_path):
     """jax.export serving artifact: serialize the rollout (weights +
     denormalization baked in), deserialize WITHOUT any tpuflow code

@@ -20,8 +20,9 @@ import numpy as np
 from tpuflow.cli import parse_args
 from tpuflow.data.dataset import load_dataset
 from tpuflow.eval.calibrate import (
-    fit_interval_scales,
-    fit_spread_scale,
+    ensemble_zscores,
+    fit_interval_scales_from_z,
+    fit_spread_scale_from_z,
     scale_members,
     scaled_interval_coverage,
 )
@@ -115,8 +116,10 @@ def main(argv=None) -> dict:
         # Instantaneous vorticity of the ensemble-mean prediction vs HF
         # over the whole horizon (the reference's cylinder-array contour
         # comparison, arXiv:2006.04731 §4, as a scalar error norm).
-        vort_pred = vorticity(mean)
-        vort_ref = vorticity(hf)
+        gh, gw = cfg.model.hf_shape
+        dx, dy = cfg.data.domain_x / gw, cfg.data.domain_y / gh
+        vort_pred = vorticity(mean, dx=dx, dy=dy)
+        vort_ref = vorticity(hf, dx=dx, dy=dy)
         vort_errs.append(float(relative_l2(vort_pred, vort_ref)))
         if i == 0:
             vort_fig = (np.asarray(vort_pred[T - 1]), np.asarray(vort_ref[T - 1]))
@@ -214,45 +217,58 @@ def main(argv=None) -> dict:
         # single-trajectory one; falls back to in-sample with a flag
         # when only one test trajectory exists). The fitted scale
         # deploys for free via eval.spread_scale (rollout var * s^2).
+        # Streaming pooled fit/holdout: one trajectory's member fields
+        # live at a time (each is O(N*T*H*W*C) — concatenating the
+        # whole split would scale live memory by n_traj for statistics
+        # that pool exactly, since every trajectory has equal element
+        # count: z-scores pool by concatenation of N-fold-smaller
+        # arrays, coverage/CRPS means pool as equal-weight averages).
         fit_idx = list(range(0, ds.n_traj, 2))
         hold_idx = list(range(1, ds.n_traj, 2))
-        fit_sets = [(members, hf0)] + [_members_for(i) for i in fit_idx[1:]]
-        m_f = jnp.concatenate([m for m, _ in fit_sets], axis=1)
-        hf_f = jnp.concatenate([h for _, h in fit_sets], axis=0)
-        scale = fit_spread_scale(m_f, hf_f)
-        if not hold_idx:
-            m_h, hf_h = members, hf0
-        else:
-            hold_sets = [_members_for(i) for i in hold_idx]
-            m_h = jnp.concatenate([m for m, _ in hold_sets], axis=1)
-            hf_h = jnp.concatenate([h for _, h in hold_sets], axis=0)
-        m_cal = scale_members(m_h, scale)
-        cov_raw = ensemble_coverage(m_h, hf_h, levels=_COVERAGE_LEVELS)
-        cov_cal = ensemble_coverage(m_cal, hf_h, levels=_COVERAGE_LEVELS)
+        z_pool = []
+        for i in fit_idx:
+            m_i, hf_i = (members, hf0) if i == 0 else _members_for(i)
+            z_pool.append(np.asarray(ensemble_zscores(m_i, hf_i)).ravel())
+            del m_i
+        z_f = jnp.asarray(np.concatenate(z_pool))
+        del z_pool
+        scale = fit_spread_scale_from_z(z_f)
         # Per-level interval recalibration: one spread factor only
         # calibrates every level for Gaussian z; measured residuals are
         # heavy-tailed, so each level gets its own factor s_q (fit on
-        # trajectory 0, applied to the holdout's two-moment stats).
-        iscales = fit_interval_scales(m_f, hf_f, levels=_COVERAGE_LEVELS)
-        cov_q = scaled_interval_coverage(
-            m_h.mean(axis=0),
-            m_h.var(axis=0),
-            hf_h,
-            iscales,
-            levels=_COVERAGE_LEVELS,
-        )
-        # Fair single-factor baseline on the SAME two-moment interval
-        # construction (what the deployed var*s^2 path produces) — the
-        # ensemble-quantile curves above use empirical member quantiles,
-        # a different interval construction, so comparing per-level
-        # against them would conflate recalibration with construction.
-        cov_s1 = scaled_interval_coverage(
-            m_h.mean(axis=0),
-            m_h.var(axis=0),
-            hf_h,
-            jnp.full(len(_COVERAGE_LEVELS), scale),
-            levels=_COVERAGE_LEVELS,
-        )
+        # the fit split, applied to the holdout's two-moment stats).
+        iscales = fit_interval_scales_from_z(z_f, levels=_COVERAGE_LEVELS)
+        del z_f
+
+        cov_raw = cov_cal = cov_q = cov_s1 = 0.0
+        crps_raw = crps_cal = 0.0
+        report_idx = hold_idx or [0]  # in-sample fallback for 1 traj
+        for i in report_idx:
+            m_i, hf_i = (members, hf0) if i == 0 else _members_for(i)
+            m_cal = scale_members(m_i, scale)
+            cov_raw += ensemble_coverage(m_i, hf_i, levels=_COVERAGE_LEVELS)
+            cov_cal += ensemble_coverage(m_cal, hf_i, levels=_COVERAGE_LEVELS)
+            crps_raw += float(np.mean(np.asarray(ensemble_crps(m_i, hf_i))))
+            crps_cal += float(np.mean(np.asarray(ensemble_crps(m_cal, hf_i))))
+            mu_i, var_i = m_i.mean(axis=0), m_i.var(axis=0)
+            cov_q += scaled_interval_coverage(
+                mu_i, var_i, hf_i, iscales, levels=_COVERAGE_LEVELS
+            )
+            # Fair single-factor baseline on the SAME two-moment
+            # interval construction (what the deployed var*s^2 path
+            # produces) — the ensemble-quantile curves above use
+            # empirical member quantiles, a different interval
+            # construction, so comparing per-level against them would
+            # conflate recalibration with construction.
+            cov_s1 += scaled_interval_coverage(
+                mu_i, var_i, hf_i,
+                jnp.full(len(_COVERAGE_LEVELS), scale),
+                levels=_COVERAGE_LEVELS,
+            )
+            del m_i, m_cal
+        n_rep = len(report_idx)
+        cov_raw, cov_cal = cov_raw / n_rep, cov_cal / n_rep
+        cov_q, cov_s1 = cov_q / n_rep, cov_s1 / n_rep
         calib.update(
             spread_scale=float(scale),
             calibration_in_sample=(not hold_idx),
@@ -264,10 +280,8 @@ def main(argv=None) -> dict:
                 f"{q:.2f}": float(c)
                 for q, c in zip(_COVERAGE_LEVELS, np.asarray(cov_cal))
             },
-            crps_holdout_raw=float(np.mean(np.asarray(ensemble_crps(m_h, hf_h)))),
-            crps_holdout_recalibrated=float(
-                np.mean(np.asarray(ensemble_crps(m_cal, hf_h)))
-            ),
+            crps_holdout_raw=crps_raw / n_rep,
+            crps_holdout_recalibrated=crps_cal / n_rep,
             interval_scales={
                 f"{q:.2f}": float(s)
                 for q, s in zip(_COVERAGE_LEVELS, np.asarray(iscales))

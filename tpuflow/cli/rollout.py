@@ -112,10 +112,12 @@ def main(argv=None) -> dict:
         out_dir, mean[t_mid], np.sqrt(var_cal[t_mid]), hf_phys[t_mid]
     )
     plot_probe_timeseries(out_dir, mean, np.sqrt(var_cal), hf_phys)
+    gh, gw = cfg.model.hf_shape
+    dx, dy = cfg.data.domain_x / gw, cfg.data.domain_y / gh
     plot_vorticity(
         out_dir,
-        np.asarray(vorticity(jnp.asarray(mean[T - 1]))),
-        np.asarray(vorticity(jnp.asarray(hf_phys[T - 1]))),
+        np.asarray(vorticity(jnp.asarray(mean[T - 1]), dx=dx, dy=dy)),
+        np.asarray(vorticity(jnp.asarray(hf_phys[T - 1]), dx=dx, dy=dy)),
         t=T - 1,
     )
 

@@ -95,6 +95,12 @@ class DataConfig:
     # when the split exceeds device_resident_max_gb per device.
     device_resident: bool = True
     device_resident_max_gb: float = 4.0
+    # Physical domain extents (x, y) of the structured grid; both
+    # shipped cases use a 4x1 domain. Sets the grid spacings used by
+    # spatial-derivative statistics (vorticity) — on anisotropic grids
+    # unit spacing would mis-weight the dv/dx vs du/dy terms.
+    domain_x: float = 4.0
+    domain_y: float = 1.0
     seed: int = 0
 
 

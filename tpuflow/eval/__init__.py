@@ -3,8 +3,11 @@ statistics (TKE, velocity moments), held-out NLL, figures
 (SURVEY.md L5 / §3.2 call stack)."""
 
 from tpuflow.eval.calibrate import (
+    ensemble_zscores,
     fit_interval_scales,
+    fit_interval_scales_from_z,
     fit_spread_scale,
+    fit_spread_scale_from_z,
     scale_members,
     scaled_interval_coverage,
 )
@@ -33,7 +36,10 @@ __all__ = [
     "make_batched_ensemble_rollout",
     "make_nll_eval",
     "fit_spread_scale",
+    "fit_spread_scale_from_z",
     "fit_interval_scales",
+    "fit_interval_scales_from_z",
+    "ensemble_zscores",
     "scaled_interval_coverage",
     "scale_members",
     "tke_field",

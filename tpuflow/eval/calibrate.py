@@ -25,6 +25,39 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def ensemble_zscores(
+    members: jnp.ndarray, ref: jnp.ndarray, axis: int = 0
+) -> jnp.ndarray:
+    """Per-point z-scores (ref - mean) / std of an ensemble.
+
+    The shared front half of both fit functions, exposed so multi-
+    trajectory fits can pool z-scores trajectory-by-trajectory (the
+    z array is N-fold smaller than the member fields, so the pooled
+    fit needs only O(one trajectory) member memory — see
+    cli/evaluate.py).
+
+    ddof=0 to match the deployment target exactly: rollout stats mode
+    accumulates jnp.var (population variance), and eval.spread_scale
+    multiplies THAT by s^2 — fitting against a ddof=1 std would leave
+    deployed two-moment intervals sqrt((N-1)/N) too narrow. The
+    variance floor matches the evaluation side (stats.gaussian_coverage
+    / scaled_interval_coverage): degenerate zero-spread points (masked
+    solid regions) must z-score identically at fit and deploy time.
+    """
+    x = jnp.moveaxis(members, axis, 0)
+    if x.shape[0] < 2:
+        raise ValueError(
+            f"ensemble_zscores needs >= 2 members (got {x.shape[0]})"
+        )
+    return (ref - x.mean(axis=0)) / jnp.sqrt(x.var(axis=0) + 1e-20)
+
+
+def fit_spread_scale_from_z(z: jnp.ndarray) -> jnp.ndarray:
+    """Spread inflation factor from (possibly pooled) z-scores:
+    s = RMS(z)."""
+    return jnp.sqrt(jnp.mean(z * z))
+
+
 def fit_spread_scale(
     members: jnp.ndarray, ref: jnp.ndarray, axis: int = 0
 ) -> jnp.ndarray:
@@ -38,18 +71,7 @@ def fit_spread_scale(
     calibrated in the unit-z-RMS sense. s > 1 means the raw ensemble
     is underdispersed; s < 1 overdispersed.
     """
-    x = jnp.moveaxis(members, axis, 0)
-    if x.shape[0] < 2:
-        raise ValueError(
-            f"fit_spread_scale needs >= 2 members (got {x.shape[0]})"
-        )
-    mean = x.mean(axis=0)
-    # ddof=0 to match the deployment target exactly: rollout stats mode
-    # accumulates jnp.var (population variance), and eval.spread_scale
-    # multiplies THAT by s^2 — fitting against a ddof=1 std would leave
-    # deployed two-moment intervals sqrt((N-1)/N) too narrow.
-    z = (ref - mean) / jnp.sqrt(x.var(axis=0) + 1e-20)
-    return jnp.sqrt(jnp.mean(z * z))
+    return fit_spread_scale_from_z(ensemble_zscores(members, ref, axis))
 
 
 def scale_members(
@@ -89,19 +111,20 @@ def fit_interval_scales(
 
     Returns: (len(levels),) array of per-level factors s_q.
     """
+    return fit_interval_scales_from_z(
+        ensemble_zscores(members, ref, axis), levels
+    )
+
+
+def fit_interval_scales_from_z(
+    z: jnp.ndarray, levels: tuple[float, ...] = (0.5, 0.8, 0.9, 0.95)
+) -> jnp.ndarray:
+    """Per-level factors from (possibly pooled) z-scores — the quantile
+    half of ``fit_interval_scales``."""
     from tpuflow.eval.stats import interval_z
 
-    x = jnp.moveaxis(members, axis, 0)
-    if x.shape[0] < 2:
-        raise ValueError(
-            f"fit_interval_scales needs >= 2 members (got {x.shape[0]})"
-        )
-    # Same variance floor as the evaluation side (stats.gaussian_coverage
-    # / scaled_interval_coverage): degenerate zero-spread points (masked
-    # solid regions) must z-score identically at fit and deploy time.
-    z = jnp.abs(ref - x.mean(axis=0)) / jnp.sqrt(x.var(axis=0) + 1e-20)
     qs = jnp.asarray(levels)
-    return jnp.quantile(z.ravel(), qs) / interval_z(qs)
+    return jnp.quantile(jnp.abs(z).ravel(), qs) / interval_z(qs)
 
 
 def scaled_interval_coverage(

@@ -9,7 +9,6 @@ import pathlib
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from tpuflow.configs.config import CaseConfig
 from tpuflow.data.dataset import NormStats
@@ -34,26 +33,18 @@ def load_eval_bundle(
         variables = model.init(jax.random.PRNGKey(cfg.train.seed), hf, lf, state)
         return model, variables, None
 
-    abstract = jax.eval_shape(
-        lambda h, l, s: model.init(jax.random.PRNGKey(0), h, l, s), hf, lf, state
-    )
-    c = cfg.model.channels
-    vec = jax.ShapeDtypeStruct((c,), np.float32)
     # The target must mirror the full saved tree (Orbax restores whole
     # items); the optimizer state is reconstructed abstractly from the
-    # same config and discarded after restore.
+    # same config and discarded after restore. The tree contract lives
+    # in ONE place (abstract_checkpoint_target), shared with Trainer.
+    from tpuflow.train.checkpoint import abstract_checkpoint_target
     from tpuflow.train.step import make_optimizer
 
     opt = make_optimizer(
         cfg.train.lr, cfg.train.lr_decay, cfg.train.grad_clip,
         cfg.train.weight_decay,
     )
-    target = {
-        "params": abstract["params"],
-        "buffers": abstract.get("buffers", {}),
-        "opt_state": jax.eval_shape(opt.init, abstract["params"]),
-        "norm": {k: vec for k in ("lf_mean", "lf_std", "hf_mean", "hf_std")},
-    }
+    target = abstract_checkpoint_target(model, opt, cfg.model, batch_size=b)
     actual_step = step if step is not None else ckpt.latest_step()
     restored = ckpt.restore(actual_step, target=target)
     state_tree = restored["state"]

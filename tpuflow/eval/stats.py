@@ -87,24 +87,29 @@ def reynolds_stress_uv(
     return jnp.mean(du * dv, axis=axes)
 
 
-def vorticity(fields: jnp.ndarray) -> jnp.ndarray:
+def vorticity(
+    fields: jnp.ndarray, dx: float = 1.0, dy: float = 1.0
+) -> jnp.ndarray:
     """Out-of-plane vorticity w = dv/dx - du/dy of 2D velocity fields.
 
     The reference's cylinder-array comparison figures are instantaneous
     vorticity contours (arXiv:2006.04731 §4); this is the field they
-    plot. Central differences on the uniform training grid with unit
-    spacing — physical dx only rescales w by a constant, which cancels
-    in the relative error norms used downstream.
+    plot. Central differences on the uniform training grid. Pass the
+    physical grid spacings: on anisotropic grids (both shipped cases —
+    the domain is 4x1 in x,y) unit spacing would weight the dv/dx
+    shear term by dx/dy relative to du/dy, which is NOT a constant
+    rescaling and does not cancel in relative error norms.
 
     Args:
       fields: (..., H, W, C>=2) velocity fields; axis -3 is y (rows),
         axis -2 is x (columns), channels (u, v[, ...]).
+      dx, dy: physical grid spacing along x (columns) and y (rows).
 
     Returns:
       (..., H, W) vorticity.
     """
-    dv_dx = jnp.gradient(fields[..., 1], axis=-1)
-    du_dy = jnp.gradient(fields[..., 0], axis=-2)
+    dv_dx = jnp.gradient(fields[..., 1], axis=-1) / dx
+    du_dy = jnp.gradient(fields[..., 0], axis=-2) / dy
     return dv_dx - du_dy
 
 

@@ -126,7 +126,7 @@ class DenseBlockNet(nn.Module):
             return init
 
         for j in range(L + 1):
-            tgt_ids = list(range(j, L + 1)) if j > 0 else list(range(L + 1))
+            tgt_ids = list(range(j, L + 1))
             total = sum(tgt_widths[t] for t in tgt_ids)
             y = conv(
                 feats[j], total, f"joint_{j}", use_bias=(j == 0),

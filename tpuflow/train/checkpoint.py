@@ -15,8 +15,46 @@ import pathlib
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
+
+
+def abstract_checkpoint_target(
+    model, optimizer, model_cfg, batch_size: int = 1
+) -> dict[str, Any]:
+    """Shape-only image of the saved state tree (the single source of
+    truth for the checkpoint contract: params / buffers / opt_state /
+    norm). Built via eval_shape from config alone — no FLOPs, no device
+    memory, and deliberately no data access (a streaming dataset must
+    not pay its normalization sweep just to restore a checkpoint that
+    already stores the constants). Orbax needs this to reconstruct
+    custom pytree nodes (optax NamedTuples) on restore; both the
+    trainer's resume and eval-time loading restore against it.
+    """
+    from tpuflow.models.tmglow import init_lstm_state
+
+    c = model_cfg.channels
+    hf_s = jax.ShapeDtypeStruct(
+        (batch_size, *model_cfg.hf_shape, c), jnp.float32
+    )
+    lf_s = jax.ShapeDtypeStruct(
+        (batch_size, *model_cfg.lf_shape, c), jnp.float32
+    )
+    state = init_lstm_state(model_cfg, (batch_size,))
+    variables = jax.eval_shape(
+        lambda h, l, s: model.init(jax.random.PRNGKey(0), h, l, s),
+        hf_s, lf_s, state,
+    )
+    norm_s = jax.ShapeDtypeStruct((c,), jnp.float32)
+    return {
+        "params": variables["params"],
+        "buffers": variables.get("buffers", {}),
+        "opt_state": jax.eval_shape(optimizer.init, variables["params"]),
+        "norm": {
+            k: norm_s for k in ("lf_mean", "lf_std", "hf_mean", "hf_std")
+        },
+    }
 
 
 class Checkpointer:

@@ -26,7 +26,7 @@ import numpy as np
 from tpuflow.configs.config import CaseConfig
 from tpuflow.data.dataset import TrajectoryDataset, load_dataset
 from tpuflow.models.tmglow import TMGlow, init_lstm_state
-from tpuflow.train.checkpoint import Checkpointer
+from tpuflow.train.checkpoint import Checkpointer, abstract_checkpoint_target
 from tpuflow.train.mesh import (
     data_sharding,
     make_mesh,
@@ -127,31 +127,12 @@ class Trainer:
     # ------------------------------------------------------------- init
 
     def _abstract_state(self):
-        """Shape-only image of the checkpointed state pytree (via
-        eval_shape: no FLOPs, no device memory, and — deliberately —
-        no data access: a streaming dataset must not pay its
-        normalization sweep just to restore a checkpoint that already
-        stores the constants) so Orbax can reconstruct custom nodes
-        (optax NamedTuples) on restore."""
-        cfg = self.cfg
-        b = cfg.data.batch_size
-        c = cfg.model.channels
-        hf_s = jax.ShapeDtypeStruct((b, *cfg.model.hf_shape, c), jnp.float32)
-        lf_s = jax.ShapeDtypeStruct((b, *cfg.model.lf_shape, c), jnp.float32)
-        state = init_lstm_state(cfg.model, (b,))
-        variables = jax.eval_shape(
-            lambda h, l, s: self.model.init(jax.random.PRNGKey(0), h, l, s),
-            hf_s, lf_s, state,
+        """Shape-only image of the checkpointed state pytree — shared
+        contract with eval-time loading (see abstract_checkpoint_target)."""
+        return abstract_checkpoint_target(
+            self.model, self.optimizer, self.cfg.model,
+            batch_size=self.cfg.data.batch_size,
         )
-        opt_shape = jax.eval_shape(self.optimizer.init, variables["params"])
-        norm_s = jax.ShapeDtypeStruct((c,), jnp.float32)
-        return {
-            "params": variables["params"],
-            "buffers": variables.get("buffers", {}),
-            "opt_state": opt_shape,
-            "norm": {k: norm_s for k in
-                     ("lf_mean", "lf_std", "hf_mean", "hf_std")},
-        }
 
     def init_or_resume(self) -> None:
         restored = None
@@ -330,7 +311,6 @@ class Trainer:
         """Periodic sample figure during training (reference behaviour:
         sample the model on a training LF frame, plot vs HF target)."""
         from tpuflow.eval.plots import plot_prediction_panels
-        from tpuflow.models.tmglow import TMGlow
 
         cfg = self.cfg
         lf_b, hf_b = next(self.dataset.traj_batches(cfg.data.seed, cfg.data.batch_size))
