@@ -14,12 +14,31 @@ Prints exactly ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Hard watchdog: the tunneled TPU client has been observed to HANG at
+# init (not error) when the tunnel is wedged; a benchmark that never
+# returns is worse than one that fails loudly. 25 min >> the ~40 s
+# compile + seconds of timed runs this script actually needs.
+_WATCHDOG_S = 1500
+
+
+def _watchdog():
+    time.sleep(_WATCHDOG_S)
+    print(
+        f"# bench watchdog: no result after {_WATCHDOG_S}s — TPU tunnel "
+        "likely wedged; aborting without emitting a misleading metric",
+        file=sys.stderr,
+        flush=True,
+    )
+    os._exit(70)
 
 
 ROLLOUT_STEPS = 100
@@ -97,6 +116,7 @@ def _log(msg: str) -> None:
 
 
 def main() -> None:
+    threading.Thread(target=_watchdog, daemon=True).start()
     on_tpu = jax.default_backend() == "tpu"
     _log("building model (init)...")
     # XLA coupling path on both sides — measured faster than the Pallas
