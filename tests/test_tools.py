@@ -229,3 +229,99 @@ def test_export_rollout_roundtrip(tmp_path):
     # the ensemble onto the conditional-prior mean (zero spread).
     cold = fn.call(lf, np.uint32(7), np.float32(0.0))
     assert float(np.asarray(cold["var"]).max()) < 1e-8
+
+
+# ---------------------------------------------------------------- supervisor
+
+
+def _sup_cfg(**kw):
+    from tpuflow.tools.supervise_train import SupervisorConfig
+
+    base = dict(
+        stall_timeout=1.0, compile_grace=1.5, max_restarts=3,
+        poll_interval=0.1, max_leg_seconds=0.0,
+    )
+    base.update(kw)
+    return SupervisorConfig(**base)
+
+
+def test_supervisor_clean_completion(tmp_path):
+    """A healthy child (heartbeat advances, exits 0) needs no restarts."""
+    import sys
+
+    from tpuflow.tools.supervise_train import supervise
+
+    hb = tmp_path / "train_log.csv"
+    # -S skips sitecustomize (which loads an accelerator plugin and
+    # costs ~2s of child startup) — these children are stdlib-only.
+    cmd = [
+        sys.executable, "-S", "-c",
+        f"import pathlib; pathlib.Path({str(hb)!r}).touch()",
+    ]
+    res = supervise(cmd, hb, _sup_cfg(), log=lambda m: None)
+    assert (res.exit_code, res.restarts, res.stalls) == (0, 0, 0)
+
+
+def test_supervisor_restarts_stalled_child(tmp_path):
+    """A child that heartbeats once then hangs is killed on the stall
+    timeout and relaunched; the relaunch (simulated resume) completes.
+    This is the production failure mode: a wedged accelerator tunnel
+    leaves the process alive but progress-free."""
+    import sys
+
+    from tpuflow.tools.supervise_train import supervise
+
+    hb = tmp_path / "train_log.csv"
+    marker = tmp_path / "already_ran"
+    child = (
+        "import pathlib, sys, time\n"
+        f"hb, marker = pathlib.Path({str(hb)!r}), pathlib.Path({str(marker)!r})\n"
+        "if marker.exists():\n"
+        "    sys.exit(0)\n"
+        "marker.touch()\n"
+        "hb.touch()\n"
+        "time.sleep(60)\n"
+    )
+    cmd = [sys.executable, "-S", "-c", child]
+    t0 = __import__("time").monotonic()
+    res = supervise(cmd, hb, _sup_cfg(), log=lambda m: None)
+    assert (res.exit_code, res.restarts, res.stalls) == (0, 1, 1)
+    assert __import__("time").monotonic() - t0 < 30  # killed, not waited out
+
+
+def test_supervisor_restart_budget(tmp_path):
+    """A child that never makes progress exhausts the restart budget
+    and the supervisor fails loudly (exit 1) instead of looping."""
+    import sys
+
+    from tpuflow.tools.supervise_train import supervise
+
+    hb = tmp_path / "train_log.csv"
+    cmd = [sys.executable, "-S", "-c", "import time; time.sleep(60)"]
+    res = supervise(
+        cmd, hb, _sup_cfg(compile_grace=0.5, max_restarts=1),
+        log=lambda m: None,
+    )
+    assert res.exit_code == 1
+    assert res.restarts == 1 and res.stalls == 2
+
+
+def test_supervisor_crash_restart(tmp_path):
+    """A crashing child (nonzero exit) is restarted from checkpoint."""
+    import sys
+
+    from tpuflow.tools.supervise_train import supervise
+
+    hb = tmp_path / "train_log.csv"
+    marker = tmp_path / "already_ran"
+    child = (
+        "import pathlib, sys\n"
+        f"marker = pathlib.Path({str(marker)!r})\n"
+        "if marker.exists():\n"
+        "    sys.exit(0)\n"
+        "marker.touch()\n"
+        "sys.exit(3)\n"
+    )
+    res = supervise([sys.executable, "-S", "-c", child], hb, _sup_cfg(),
+                    log=lambda m: None)
+    assert (res.exit_code, res.restarts, res.crashes) == (0, 1, 1)
