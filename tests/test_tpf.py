@@ -271,3 +271,35 @@ def test_ensemble_crps_rejects_single_member():
 
     with pytest.raises(ValueError, match=">= 2 members"):
         ensemble_crps(jnp.zeros((1, 4)), jnp.zeros((4,)))
+
+
+def test_native_close_with_inflight_gathers(arrays, store_path):
+    """Racing tpf_close against in-flight/queued async gathers must be
+    memory-safe: close blocks until running readers drain (C-side
+    refcount) and queued tasks that lose the race fail cleanly (-2 ->
+    IOError) instead of touching freed memory. Every ticket resolves —
+    either with correct bytes or a clean error — and nothing crashes."""
+    import threading
+
+    lf, hf = arrays
+    s = TPFStore(store_path)
+    if not s.native:
+        pytest.skip("native loader unavailable")
+    tickets = [
+        s.read_batch_async("hf", [i % N], 0, T) for i in range(64)
+    ]
+    # Bypass the Python-side drain to exercise the C-side safety net.
+    closer = threading.Thread(target=s._lib.tpf_close, args=(s._handle,))
+    closer.start()
+    ok = failed = 0
+    for i, t in enumerate(tickets):
+        try:
+            out = t.wait()
+            np.testing.assert_allclose(out[0], hf[i % N], rtol=1e-6)
+            ok += 1
+        except IOError:
+            failed += 1
+    closer.join()
+    s._handle = 0  # already closed directly
+    s._pending.clear()
+    assert ok + failed == 64

@@ -72,9 +72,12 @@ def save_tpf(path: str | pathlib.Path, lf: np.ndarray, hf: np.ndarray) -> pathli
         f.write(np.uint64(len(hjson)).tobytes())
         f.write(hjson)
         f.seek(lf_off)
-        f.write(lf.tobytes())
+        # tofile/memoryview write without materializing a full copy
+        # (tobytes() would double peak RAM on the multi-GB stores this
+        # format exists for).
+        f.write(memoryview(lf).cast("B"))
         f.seek(hf_off)
-        f.write(hf.tobytes())
+        f.write(memoryview(hf).cast("B"))
     return path
 
 
@@ -168,9 +171,13 @@ class _Ticket:
     def wait(self) -> np.ndarray:
         if not self._done:
             self._done = True
+            self._lib.tpf_wait(self._tid)
+            # Deregister only AFTER the native wait returns: removing
+            # the ticket first would let TPFStore.close()'s drain see
+            # an empty pending set while this gather is still running
+            # and free the C-side store under it.
             if self._store is not None:
                 self._store._pending.discard(self)
-            self._lib.tpf_wait(self._tid)
             if self._status.value != 0:
                 raise IOError("native gather failed")
         return self.out
@@ -334,12 +341,19 @@ class PrefetchingWindowLoader:
         self.norm = norm
         self.drop_remainder = drop_remainder
 
+    # Epoch order comes from the shared single source of truth
+    # (dataset.py batch_indices) — re-implementing the shuffle here
+    # could silently drift from the ram/resident loaders' order and
+    # break deterministic cross-loader parity.
+    batch_indices = TrajectoryDataset.batch_indices
+
+    @property
+    def n_traj(self) -> int:  # for batch_indices
+        return self.store.n_traj
+
     def _schedule(self, seed: int):
-        order = np.random.default_rng(seed).permutation(self.store.n_traj)
         t = self.store.n_steps
-        stop = len(order) - (self.batch_size - 1 if self.drop_remainder else 0)
-        for i in range(0, stop, self.batch_size):
-            ids = order[i : i + self.batch_size]
+        for ids in self.batch_indices(seed, self.batch_size, self.drop_remainder):
             for w0 in range(0, t - self.window + 1, self.window):
                 yield ids, w0, w0 == 0
 

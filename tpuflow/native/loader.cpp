@@ -19,6 +19,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC -o _tpfloader.so loader.cpp -lpthread
 
 #include <atomic>
+#include <cerrno>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -43,6 +44,10 @@ struct ArrayMeta {
 struct Store {
   int fd = -1;
   ArrayMeta lf{}, hf{};
+  // In-flight readers pin the Store: tpf_close must not delete it (or
+  // close/reuse the fd) under a thread that is mid-pread. Guarded by
+  // g_mu; g_refs_cv signals the close waiter when refs hits 0.
+  int refs = 0;
 };
 
 int64_t numel4(const int64_t* s) {  // per-trajectory elements (T*H*W*C)
@@ -138,6 +143,7 @@ class Pool {
 };
 
 std::mutex g_mu;
+std::condition_variable g_refs_cv;
 std::map<int64_t, Store*> g_stores;
 int64_t g_next_handle = 1;
 Pool* g_pool = nullptr;
@@ -148,10 +154,21 @@ void set_error(const std::string& e) {
   g_error = e;
 }
 
-Store* get(int64_t h) {
+// Pin the store for the duration of a read: ctypes releases the GIL
+// during foreign calls, so another Python thread can call tpf_close
+// while this thread is mid-gather. acquire/release + the close-side
+// wait make that safe (close blocks until in-flight readers drain).
+Store* acquire(int64_t h) {
   std::unique_lock<std::mutex> lk(g_mu);
   auto it = g_stores.find(h);
-  return it == g_stores.end() ? nullptr : it->second;
+  if (it == g_stores.end()) return nullptr;
+  ++it->second->refs;
+  return it->second;
+}
+
+void release(Store* s) {
+  std::unique_lock<std::mutex> lk(g_mu);
+  if (--s->refs == 0) g_refs_cv.notify_all();
 }
 
 // Gather one (traj, [t0,t1)) window of array `which` into out,
@@ -172,7 +189,11 @@ bool gather(const Store* s, int which, int64_t traj, int64_t t0, int64_t t1,
   int64_t pos = off;
   while (bytes > 0) {
     ssize_t got = pread(s->fd, dst, bytes, pos);
-    if (got <= 0) return false;
+    if (got < 0) {
+      if (errno == EINTR) continue;  // signal landed mid-read: retry
+      return false;
+    }
+    if (got == 0) return false;  // unexpected EOF (truncated store)
     dst += got;
     pos += got;
     bytes -= got;
@@ -190,7 +211,14 @@ bool gather(const Store* s, int which, int64_t traj, int64_t t0, int64_t t1,
 
 extern "C" {
 
-const char* tpf_last_error() { return g_error.c_str(); }
+const char* tpf_last_error() {
+  // Copy under the lock: returning g_error.c_str() directly races with
+  // a concurrent set_error reallocating the buffer (dangling pointer).
+  static thread_local std::string copy;
+  std::unique_lock<std::mutex> lk(g_mu);
+  copy = g_error;
+  return copy.c_str();
+}
 
 int64_t tpf_open(const char* path) {
   int fd = open(path, O_RDONLY);
@@ -233,21 +261,28 @@ int64_t tpf_open(const char* path) {
 }
 
 void tpf_close(int64_t handle) {
-  std::unique_lock<std::mutex> lk(g_mu);
-  auto it = g_stores.find(handle);
-  if (it != g_stores.end()) {
-    close(it->second->fd);
-    delete it->second;
-    g_stores.erase(it);
+  Store* s = nullptr;
+  {
+    std::unique_lock<std::mutex> lk(g_mu);
+    auto it = g_stores.find(handle);
+    if (it == g_stores.end()) return;
+    s = it->second;
+    g_stores.erase(it);  // no new acquires can find the handle
+    // Wait for in-flight readers to release before freeing: a worker
+    // can be mid-pread with the GIL dropped on the Python side.
+    g_refs_cv.wait(lk, [&] { return s->refs == 0; });
   }
+  close(s->fd);
+  delete s;
 }
 
 // out_shapes: int64[10] = lf (N,T,h,w,C) then hf (N,T,H,W,C).
 int tpf_info(int64_t handle, int64_t* out_shapes) {
-  Store* s = get(handle);
+  Store* s = acquire(handle);
   if (!s) return -1;
   memcpy(out_shapes, s->lf.shape, 5 * sizeof(int64_t));
   memcpy(out_shapes + 5, s->hf.shape, 5 * sizeof(int64_t));
+  release(s);
   return 0;
 }
 
@@ -257,14 +292,16 @@ int tpf_info(int64_t handle, int64_t* out_shapes) {
 int tpf_read_batch(int64_t handle, int which, const int64_t* traj_ids,
                    int64_t n, int64_t t0, int64_t t1, const float* mean,
                    const float* inv_std, float* out) {
-  Store* s = get(handle);
+  Store* s = acquire(handle);
   if (!s) return -1;
   const ArrayMeta& a = which == 0 ? s->lf : s->hf;
   const int64_t win = (t1 - t0) * a.shape[2] * a.shape[3] * a.shape[4];
-  for (int64_t b = 0; b < n; ++b)
+  int rc = 0;
+  for (int64_t b = 0; b < n && rc == 0; ++b)
     if (!gather(s, which, traj_ids[b], t0, t1, mean, inv_std, out + b * win))
-      return -2;
-  return 0;
+      rc = -2;
+  release(s);
+  return rc;
 }
 
 // Async variant: returns a ticket (>0); tpf_wait blocks until the
@@ -274,8 +311,14 @@ int64_t tpf_read_batch_async(int64_t handle, int which,
                              int64_t t1, const float* mean,
                              const float* inv_std, float* out,
                              int* status_out) {
-  Store* s = get(handle);
-  if (!s) return 0;
+  {
+    std::unique_lock<std::mutex> lk(g_mu);
+    if (g_stores.find(handle) == g_stores.end() || g_pool == nullptr)
+      return 0;
+  }
+  // The queued task re-resolves the handle via acquire(): if the store
+  // is closed before the task runs, the gather fails cleanly (-2)
+  // instead of touching freed memory.
   std::vector<int64_t> ids(traj_ids, traj_ids + n);
   *status_out = 1;  // in flight
   return g_pool->submit([=] {

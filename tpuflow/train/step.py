@@ -202,7 +202,14 @@ def make_optimizer(
     decay_every: int = 100,
 ) -> optax.GradientTransformation:
     """Adam + exponential lr decay + global-norm clipping (SURVEY.md
-    §2 'Trainer': Adam + decay, grad clip)."""
+    §2 'Trainer': Adam + decay, grad clip).
+
+    Decay is CONTINUOUS (staircase=False): lr(step) =
+    lr * lr_decay^(step / decay_every) — decay_every is the time
+    constant, not a step-drop interval. A stepped ExponentialLR-style
+    schedule would hold lr flat within each interval; the smooth form
+    is deliberate (and what every shipped checkpoint was trained
+    with — do not flip to staircase without retraining)."""
     schedule = optax.exponential_decay(
         init_value=lr, transition_steps=decay_every, decay_rate=lr_decay
     )
