@@ -193,3 +193,46 @@ def test_conditional_prior_logp_and_sample():
     # Temperature 0 => the prior mean (zero at init).
     np.testing.assert_allclose(z_s, 0.0, atol=1e-6)
     assert z_s.shape == (B, H, W, C)
+
+
+def test_actnorm_degenerate_channel_init():
+    """A (near-)constant channel in the init batch must not initialize
+    an unbounded amplification: log_scale is clamped so the first
+    forward stays finite instead of saturating the bf16 nets."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuflow.flows.actnorm import ActNorm
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 8, 8, 3)).astype(np.float32)
+    x[..., 1] = 2.5  # constant channel -> std ~ 0
+    m = ActNorm()
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ls = np.asarray(variables["params"]["log_scale"])
+    assert np.all(np.isfinite(ls)) and ls.max() <= 7.0 + 1e-6
+    y, logdet = m.apply(variables, jnp.asarray(x))
+    assert np.all(np.isfinite(np.asarray(y)))
+    assert np.all(np.isfinite(np.asarray(logdet)))
+
+
+def test_gaussian_logp_multi_axis_batch():
+    """gaussian_logp reduces over the field axes only (matching every
+    bijector's logdet convention), so (B, T) batch shapes pass through
+    instead of silently summing the extra axis."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuflow.flows.prior import gaussian_logp
+
+    rng = np.random.default_rng(1)
+    z = jnp.asarray(rng.normal(size=(2, 5, 4, 4, 3)).astype(np.float32))
+    zero = jnp.zeros_like(z)
+    lp = gaussian_logp(z, zero, zero)
+    assert lp.shape == (2, 5)
+    # Matches the single-batch-axis value computed row by row.
+    flat = gaussian_logp(z.reshape(10, 4, 4, 3), zero.reshape(10, 4, 4, 3),
+                         zero.reshape(10, 4, 4, 3))
+    np.testing.assert_allclose(np.asarray(lp).ravel(), np.asarray(flat),
+                               rtol=1e-6)

@@ -220,12 +220,16 @@ def ensemble_coverage(
     reliability diagram's y-axis).
     """
     x = jnp.moveaxis(members, axis, 0)
-    out = []
-    for q in levels:
-        lo = jnp.quantile(x, (1.0 - q) / 2.0, axis=0)
-        hi = jnp.quantile(x, 1.0 - (1.0 - q) / 2.0, axis=0)
-        out.append(jnp.mean((ref >= lo) & (ref <= hi)))
-    return jnp.stack(out)
+    qs = jnp.asarray(levels)
+    # One stacked quantile call: a per-level Python loop would re-sort
+    # the full member array once per bound (8 sorts + dispatches for
+    # the default 4 levels); the stacked q vector shares one sort.
+    bounds = jnp.quantile(
+        x, jnp.concatenate([(1.0 - qs) / 2.0, 1.0 - (1.0 - qs) / 2.0]), axis=0
+    )
+    n = len(levels)
+    inside = (ref >= bounds[:n]) & (ref <= bounds[n:])
+    return jnp.mean(inside, axis=tuple(range(1, inside.ndim)))
 
 
 def interval_z(q) -> jnp.ndarray:

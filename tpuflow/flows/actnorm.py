@@ -45,7 +45,12 @@ class ActNorm(nn.Module):
         def log_scale_init(rng, shape):
             del rng, shape
             std = jnp.std(x.astype(jnp.float32), axis=reduce_axes)
-            return -jnp.log(std + self.eps)
+            # Clamp: a (near-)constant channel in the init batch (e.g.
+            # a masked solid region) would otherwise initialize a ~1e6
+            # amplification (-log(eps)) that saturates the bf16
+            # coupling nets and NaNs the first step. exp(7) ~ 1100 is
+            # still a strong whitening but keeps activations finite.
+            return jnp.clip(-jnp.log(std + self.eps), -7.0, 7.0)
 
         bias = self.param("bias", bias_init, (c,))
         log_scale = self.param("log_scale", log_scale_init, (c,))

@@ -20,20 +20,27 @@ _LOG2PI = math.log(2.0 * math.pi)
 
 
 def gaussian_logp(z: jax.Array, mean: jax.Array, log_std: jax.Array) -> jax.Array:
-    """Sum of elementwise diagonal-Gaussian log-density over all axes but batch.
+    """Sum of elementwise diagonal-Gaussian log-density over the field
+    axes (h, w, c) — batch shape passes through.
+
+    Summing over the LAST THREE axes (not "all but the first") matches
+    the logdet convention of every bijector (reductions over
+    x.shape[:-3]), so arbitrary batch shapes — e.g. (B, T) with time
+    folded into the batch — give a per-element density instead of
+    silently collapsing extra batch axes into the sum.
 
     Args:
-      z: (B, ...) latent.
+      z: (..., h, w, c) latent.
       mean, log_std: broadcastable to z.
 
     Returns:
-      (B,) float32 log-probability.
+      z.shape[:-3] float32 log-probability.
     """
     z = z.astype(jnp.float32)
     mean = mean.astype(jnp.float32)
     log_std = log_std.astype(jnp.float32)
     lp = -0.5 * (_LOG2PI + 2.0 * log_std + jnp.exp(-2.0 * log_std) * (z - mean) ** 2)
-    return jnp.sum(lp, axis=tuple(range(1, z.ndim)))
+    return jnp.sum(lp, axis=(-3, -2, -1))
 
 
 def gaussian_sample(
