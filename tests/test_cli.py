@@ -56,6 +56,16 @@ def test_cli_train_rollout_evaluate_pipeline(tmp_path):
     saved = json.loads((out_dir / "rollout_metrics.json").read_text())
     assert saved["steps"] == 8
 
+    # Long-horizon rollout (T > stored trajectory): the LF input
+    # wrap-tiles but every HF comparison stays within the genuine
+    # frames (no replayed frames labeled "HF target", no
+    # double-counted transient in the TKE reference).
+    lmetrics = rollout_main(_overrides(tmp_path) + ["eval.rollout_steps=12"])
+    assert lmetrics["steps"] == 12
+    stats = np.load(out_dir / "rollout_stats.npz")
+    assert stats["mean"].shape[0] == 12  # full-horizon prediction saved
+    assert (out_dir / "vorticity_t0007.png").exists()  # t_ref-1 = 7
+
     emetrics = evaluate_main(_overrides(tmp_path) + ["eval.calibration_steps=4"])
     assert np.isfinite(emetrics["test_bpd"])
     assert np.isfinite(emetrics["tke_rel_l2_mean"])

@@ -187,7 +187,7 @@ def test_train_with_streaming_loader(arrays, tmp_path):
         "model.compute_dtype=float32",
     ])
     assert np.isfinite(metrics["mean_bpd"])
-    assert metrics["epoch"] == 1
+    assert metrics["epoch"] == 2  # completed-epoch count
 
 
 def test_ticket_double_wait_and_abandoned_generator(arrays, store_path):

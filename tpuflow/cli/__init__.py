@@ -67,6 +67,9 @@ def parse_args(argv: list[str] | None = None, prog: str = "tpuflow") -> CaseConf
 
         print(__doc__)
         print("known cases:", ", ".join(case_names()))
-        raise SystemExit(0)
+        # Missing case argument is a usage ERROR (exit 2), not success:
+        # scripts checking the exit code must not conclude a run
+        # happened (e.g. `tpuflow-train $CASE` with $CASE empty).
+        raise SystemExit(0 if argv else 2)
     case, overrides = argv[0], parse_cli_overrides(argv[1:])
     return load_case(case, overrides)

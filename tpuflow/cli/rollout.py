@@ -44,12 +44,23 @@ def main(argv=None) -> dict:
     ds = load_dataset(cfg.data, cfg.model, "test", norm=norm)
     T = cfg.eval.rollout_steps
     n_avail = ds.n_steps
+    # Horizons beyond the stored trajectory wrap-tile the LF INPUT only
+    # (periodic replay conditioning for long-horizon throughput runs,
+    # BASELINE stretch config #5). The HF reference is never tiled:
+    # replayed frames would double-count the early transient in the
+    # temporal-variance TKE and label old frames "HF target" in the
+    # comparison panels — so every reference-vs-prediction figure and
+    # statistic below is truncated to the t_ref genuine frames.
     if T > n_avail:
         reps = -(-T // n_avail)
         lf_traj = np.concatenate([ds.lf[0]] * reps, axis=0)[:T]
-        hf_traj = np.concatenate([ds.hf[0]] * reps, axis=0)[:T]
+        print(f"note: rollout horizon {T} > stored {n_avail} steps; "
+              "LF input wrap-tiled, HF comparisons use the first "
+              f"{n_avail} genuine frames")
     else:
-        lf_traj, hf_traj = ds.lf[0, :T], ds.hf[0, :T]
+        lf_traj = ds.lf[0, :T]
+    t_ref = min(T, n_avail)
+    hf_traj = ds.hf[0, :t_ref]
 
     # Multi-device hosts: shard the ensemble across all chips (zero
     # communication); single-device (the common 1-chip case) runs flat.
@@ -101,24 +112,29 @@ def main(argv=None) -> dict:
         stats_out["var_calibrated"] = var_cal
     np.savez_compressed(out_dir / "rollout_stats.npz", **stats_out)
 
-    for t in (0, T // 2, T - 1):
+    # Reference-vs-prediction outputs stay within the genuine frames.
+    for t in sorted({0, t_ref // 2, t_ref - 1}):
         plot_prediction_panels(
             out_dir, lf_phys[t], hf_phys[t], mean[t], var_cal[t], t
         )
-    tke_pred = np.asarray(tke_field(total_variance(jnp.asarray(mean), jnp.asarray(var))))
+    tke_pred = np.asarray(tke_field(total_variance(
+        jnp.asarray(mean[:t_ref]), jnp.asarray(var[:t_ref])
+    )))
     plot_tke(out_dir, tke_pred, np.asarray(tke_field(jnp.asarray(hf_phys.var(axis=0)))))
-    t_mid = T // 2
+    t_mid = t_ref // 2
     plot_profiles(
         out_dir, mean[t_mid], np.sqrt(var_cal[t_mid]), hf_phys[t_mid]
     )
-    plot_probe_timeseries(out_dir, mean, np.sqrt(var_cal), hf_phys)
+    plot_probe_timeseries(
+        out_dir, mean[:t_ref], np.sqrt(var_cal[:t_ref]), hf_phys
+    )
     gh, gw = cfg.model.hf_shape
     dx, dy = cfg.data.domain_x / gw, cfg.data.domain_y / gh
     plot_vorticity(
         out_dir,
-        np.asarray(vorticity(jnp.asarray(mean[T - 1]), dx=dx, dy=dy)),
-        np.asarray(vorticity(jnp.asarray(hf_phys[T - 1]), dx=dx, dy=dy)),
-        t=T - 1,
+        np.asarray(vorticity(jnp.asarray(mean[t_ref - 1]), dx=dx, dy=dy)),
+        np.asarray(vorticity(jnp.asarray(hf_phys[t_ref - 1]), dx=dx, dy=dy)),
+        t=t_ref - 1,
     )
 
     # Individual member samples (small fields-mode rollout to t_mid+1).

@@ -15,14 +15,18 @@ from tpuflow.utils.logging import MetricsLogger
 def main(argv=None) -> dict:
     cfg = parse_args(argv)
     log_path = pathlib.Path(cfg.train.checkpoint_dir) / cfg.name / "train_log.csv"
-    trainer = Trainer(
-        cfg,
-        logger=MetricsLogger(
-            log_path, tensorboard_dir=cfg.train.tensorboard_dir or None
-        ),
+    logger = MetricsLogger(
+        log_path, tensorboard_dir=cfg.train.tensorboard_dir or None
     )
-    trainer.init_or_resume()
-    final = trainer.run()
+    trainer = Trainer(cfg, logger=logger)
+    try:
+        trainer.init_or_resume()
+        final = trainer.run()
+    finally:
+        # Flush/close the TensorBoard writer: tf buffers events (~2 min
+        # flush interval), so exiting without close() can drop the tail
+        # of the run's scalars. CSV is flushed per row regardless.
+        logger.close()
     print(
         f"done: epoch={final.get('epoch')} "
         f"mean_bpd={final.get('mean_bpd', float('nan')):.4f} "

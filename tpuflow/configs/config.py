@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 
 import pathlib
+import typing
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -128,6 +129,7 @@ class TrainConfig:
     # Save a sample-vs-target figure every N epochs (0 = off) — the
     # reference's periodic sample+plot during training (SURVEY.md §3.1).
     plot_every: int = 0
+    # Log a metrics row every N global steps (0 = off).
     log_every: int = 10
     seed: int = 42
     # Mesh axis sizes; -1 on data means "all remaining devices".
@@ -184,17 +186,20 @@ def _from_dict(cls, d: dict[str, Any]):
             f"unknown {cls.__name__} keys {sorted(unknown)}; "
             f"valid keys: {sorted(known)}"
         )
+    # Resolve *string* annotations (this module uses `from __future__
+    # import annotations`, so f.type is a str and
+    # dataclasses.is_dataclass(f.type) would always be False) to find
+    # nested dataclass fields robustly — a newly added nested config
+    # converts automatically instead of silently staying a raw dict.
+    hints = typing.get_type_hints(cls)
     kwargs = {}
     for f in dataclasses.fields(cls):
         if f.name not in d:
             continue
         v = d[f.name]
-        if dataclasses.is_dataclass(f.type) or f.name in (
-            "model", "data", "train", "eval",
-        ):
-            sub = {"model": ModelConfig, "data": DataConfig,
-                   "train": TrainConfig, "eval": EvalConfig}[f.name]
-            v = _from_dict(sub, v)
+        ftype = hints.get(f.name, f.type)
+        if dataclasses.is_dataclass(ftype) and isinstance(v, dict):
+            v = _from_dict(ftype, v)
         elif isinstance(v, list):
             v = tuple(v)
         kwargs[f.name] = v

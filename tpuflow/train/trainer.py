@@ -223,7 +223,7 @@ class Trainer:
                 self.global_step += n_win
                 pending.append((n_win, metrics))
                 n_windows += n_win
-                if (
+                if cfg.train.log_every and (
                     self.global_step // cfg.train.log_every
                     != (self.global_step - n_win) // cfg.train.log_every
                 ):
@@ -292,12 +292,16 @@ class Trainer:
             for n_win, m in pending:
                 epoch_bpd += float(m["bpd"]) * n_win
             epoch_dt = time.perf_counter() - epoch_t0
+            self.epoch += 1
+            # "epoch" = COMPLETED-epoch count, matching the
+            # already-trained early return in run() (a completed
+            # N-epoch run and its no-op re-invocation report the same
+            # number).
             last = {
                 "epoch": self.epoch,
                 "mean_bpd": epoch_bpd / max(n_windows, 1),
                 "windows_per_sec": n_windows / epoch_dt,
             }
-            self.epoch += 1
             if (
                 self.epoch % cfg.train.checkpoint_every == 0
                 or self.epoch == epochs

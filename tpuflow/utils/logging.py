@@ -31,6 +31,7 @@ class MetricsLogger:
         self._writer = None
         self._fields: list[str] | None = None
         self._quiet = quiet
+        self._warned_fields: set = set()
         self._t0 = time.time()
         self._tb = None
         if tensorboard_dir:
@@ -55,6 +56,17 @@ class MetricsLogger:
                 self._writer = csv.DictWriter(self._file, fieldnames=self._fields)
                 if self._file.tell() == 0:
                     self._writer.writeheader()
+            extra = set(row) - set(self._fields)
+            if extra and extra - self._warned_fields:
+                # The CSV schema is frozen at the first row (appending a
+                # column mid-file would corrupt it); don't silently drop
+                # late-appearing metrics.
+                self._warned_fields |= extra
+                print(
+                    f"MetricsLogger: dropping {sorted(extra)} from CSV "
+                    "(schema frozen at first row; stdout/TensorBoard "
+                    "still carry them)", file=sys.stderr,
+                )
             self._writer.writerow({k: row.get(k, "") for k in self._fields})
             self._file.flush()
         if self._tb is not None:
