@@ -142,3 +142,39 @@ def test_fetch_case_contract_and_sources(tmp_path):
         fetch_case(
             "cylinder-array", data_dir, split="train", url=bad.as_uri()
         )
+
+
+def test_fetch_case_strips_query_and_fragment(tmp_path, monkeypatch):
+    """URL query strings AND fragments (the '#sha256=...' convention)
+    are stripped before deriving the archive extension."""
+    import tpuflow.data.download as dl
+
+    seen = {}
+
+    def fake_download(url, dest, sha256=None):
+        seen["dest"] = dest
+        return dest
+
+    monkeypatch.setattr(dl, "download_file", fake_download)
+    monkeypatch.setattr(dl, "_validate_archive", lambda p: None)
+    out = dl.fetch_case(
+        "backward-step", tmp_path, split="train",
+        url="https://host/files/data.h5?download=1#sha256=abcd",
+    )
+    assert out.name == "backward-step_train.h5"
+
+
+def test_archive_shapes_without_loading(tmp_path):
+    """_archive_shapes reads shapes from metadata only (h5 and npz)."""
+    import numpy as np
+
+    from tpuflow.data.dataset import save_archive
+    from tpuflow.data.download import _archive_shapes
+
+    lf = np.zeros((2, 3, 4, 8, 3), np.float32)
+    hf = np.zeros((2, 3, 8, 16, 3), np.float32)
+    for ext in (".h5", ".npz"):
+        p = tmp_path / f"a{ext}"
+        save_archive(p, lf, hf)
+        ls, hs = _archive_shapes(p)
+        assert ls == lf.shape and hs == hf.shape

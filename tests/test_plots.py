@@ -53,3 +53,20 @@ def test_all_figures_written(tmp_path):
     ]
     for p in paths:
         assert p.exists() and p.stat().st_size > 1000, p
+
+
+def test_panels_survive_nan_fields(tmp_path):
+    """A diverged rollout (NaN fields) is exactly when the figures must
+    still render: the color-scale bound falls back to finite values
+    instead of producing blank nan-limits panels."""
+    import numpy as np
+
+    from tpuflow.eval.plots import _finite_max, plot_prediction_panels
+
+    assert _finite_max(np.full((4, 4), np.nan)) == 1.0
+    assert _finite_max(np.array([[1.0, np.nan], [np.inf, -3.0]])) == 3.0
+    f = np.random.default_rng(0).normal(size=(8, 8, 3)).astype(np.float32)
+    bad = f.copy()
+    bad[2, 2] = np.nan
+    out = plot_prediction_panels(tmp_path, f, bad, bad, np.abs(bad), 0)
+    assert out.exists() and out.stat().st_size > 0

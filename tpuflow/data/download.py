@@ -7,8 +7,10 @@ reference's data pipeline — the reference's LF/HF trajectory archives
 this offline environment (empty reference mount, no network —
 SURVEY.md provenance warning), so the registry below ships empty and
 every entry is supplied by the user (``--url``/``--sha256`` or a
-``sources.json``); the machinery — streaming download with resume,
-SHA-256 verification, archive-contract validation — is complete.
+``sources.json``); the machinery — streaming download (idempotent
+re-runs keep checksum-verified files; a failed transfer restarts from
+scratch, no partial-file resume), SHA-256 verification, and
+archive-contract validation — is complete.
 
 Usage:
     python -m tpuflow.data.download backward-step --split train \
@@ -24,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import hashlib
+import http.client
 import json
 import pathlib
 import shutil
@@ -75,9 +78,13 @@ def download_file(
     tmp_path = pathlib.Path(tmp.name)
     try:
         try:
-            with urllib.request.urlopen(url) as resp:
+            # timeout: a stalled connection must error, not hang forever.
+            # http.client.HTTPException covers mid-body failures
+            # (IncompleteRead is NOT an OSError) so the offline guidance
+            # below fires for every transport failure mode.
+            with urllib.request.urlopen(url, timeout=60) as resp:
                 shutil.copyfileobj(resp, tmp.file, _CHUNK)
-        except (urllib.error.URLError, OSError) as e:
+        except (urllib.error.URLError, OSError, http.client.HTTPException) as e:
             raise ConnectionError(
                 f"download failed for {url}: {e}. This environment may be "
                 "offline — use data.synthetic=true for the procedural "
@@ -126,7 +133,9 @@ def fetch_case(
                 "IDs were not verifiable offline (see module docstring)."
             )
         url, sha256 = src["url"], src.get("sha256", sha256)
-    ext = pathlib.Path(url.split("?", 1)[0]).suffix or ".h5"
+    # Strip query AND fragment (the '#sha256=...' convention) before
+    # deriving the extension.
+    ext = pathlib.Path(url.split("?", 1)[0].split("#", 1)[0]).suffix or ".h5"
     if ext not in (".h5", ".hdf5", ".npz"):
         raise ValueError(f"unsupported archive extension {ext!r} in {url}")
     dest = data_dir / f"{case}_{split}{ext}"
@@ -135,16 +144,47 @@ def fetch_case(
     return dest
 
 
+def _archive_shapes(path: pathlib.Path) -> tuple[tuple, tuple]:
+    """(lf_shape, hf_shape) WITHOUT loading array data — h5py exposes
+    dataset shapes from metadata, and .npy headers inside an .npz zip
+    carry the shape; materializing a multi-GB archive just to read
+    .shape would double fetch wall time and risk OOM."""
+    suffix = path.suffix.lower()
+    if suffix in (".h5", ".hdf5"):
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            return tuple(f["lf"].shape), tuple(f["hf"].shape)
+    if suffix == ".npz":
+        import zipfile
+
+        import numpy.lib.format as npy_format
+
+        shapes = {}
+        with zipfile.ZipFile(path) as z:
+            for name in ("lf", "hf"):
+                with z.open(name + ".npy") as f:
+                    version = npy_format.read_magic(f)
+                    if version == (1, 0):
+                        shape, _, _ = npy_format.read_array_header_1_0(f)
+                    else:
+                        shape, _, _ = npy_format.read_array_header_2_0(f)
+                    shapes[name] = tuple(shape)
+        return shapes["lf"], shapes["hf"]
+    from tpuflow.data.dataset import load_archive  # unknown ext: full load
+
+    lf, hf = load_archive(path)
+    return lf.shape, hf.shape
+
+
 def _validate_archive(path: pathlib.Path) -> None:
     """Check the downloaded file against the docs/DATA_FORMAT.md
     contract: datasets ``lf``/``hf``, 5-D, aligned (N, T)."""
-    from tpuflow.data.dataset import load_archive
-
-    lf, hf = load_archive(path)
-    if lf.ndim != 5 or hf.ndim != 5 or lf.shape[:2] != hf.shape[:2]:
+    lf_shape, hf_shape = _archive_shapes(path)
+    if len(lf_shape) != 5 or len(hf_shape) != 5 or lf_shape[:2] != hf_shape[:2]:
         raise ValueError(
-            f"{path} violates the archive contract: lf {lf.shape}, "
-            f"hf {hf.shape} (want aligned 5-D (N, T, h, w, C))"
+            f"{path} violates the archive contract: lf {lf_shape}, "
+            f"hf {hf_shape} (want aligned 5-D (N, T, h, w, C))"
         )
 
 

@@ -11,9 +11,12 @@ whole framework (training, rollout, UQ statistics) runs end-to-end
 with no network access.
 
 The multi-fidelity relationship mirrors the physical one: the LF field
-is an average-pooled, diffused, slightly phase-lagged rendering of the
-HF field — correlated but visibly degraded — so the conditional model
-has real signal to learn.
+is an average-pooled, diffused, amplitude-biased rendering of the HF
+field — correlated but visibly degraded — so the conditional model has
+real signal to learn. (The degradation is spatial + static bias only;
+there is deliberately NO temporal phase lag, so the synthetic cases do
+not exercise LF phase-error correction — real archives are the
+benchmark for that axis.)
 
 All generation is vectorized NumPy on host; the arrays are consumed by
 the JAX pipeline as device inputs.

@@ -21,9 +21,20 @@ import numpy as np
 _CHANNELS = ("u", "v", "p")
 
 
+def _finite_max(*fields) -> float:
+    """Color-scale bound that survives NaN/Inf fields: a diverged
+    rollout is exactly when these figures must still render (nan vmax
+    makes imshow draw blank panels with no warning)."""
+    vals = [float(np.nanmax(np.abs(np.where(np.isfinite(f), f, 0.0))))
+            for f in fields]
+    m = max(vals) if vals else 0.0
+    return m if np.isfinite(m) and m > 0 else 1.0
+
+
+
 def _panel(ax, field, title, cmap="RdBu_r", vlim=None):
     if vlim is None:
-        vmax = float(np.abs(field).max()) or 1.0
+        vmax = _finite_max(field)
         vlim = (-vmax, vmax)
     im = ax.imshow(field, cmap=cmap, vmin=vlim[0], vmax=vlim[1], origin="lower")
     ax.set_title(title, fontsize=9)
@@ -46,12 +57,12 @@ def plot_prediction_panels(
     out_dir.mkdir(parents=True, exist_ok=True)
     name = _CHANNELS[channel]
     fig, axes = plt.subplots(1, 5, figsize=(18, 3.2))
-    vmax = float(np.abs(hf[..., channel]).max()) or 1.0
+    vmax = _finite_max(hf[..., channel])
     _panel(axes[0], lf[..., channel], f"LF input {name}", vlim=(-vmax, vmax))
     _panel(axes[1], hf[..., channel], f"HF target {name}", vlim=(-vmax, vmax))
     _panel(axes[2], mean[..., channel], f"pred mean {name}", vlim=(-vmax, vmax))
     _panel(axes[3], var[..., channel], f"pred var {name}", cmap="viridis",
-           vlim=(0, float(var[..., channel].max()) or 1.0))
+           vlim=(0, _finite_max(var[..., channel])))
     _panel(axes[4], mean[..., channel] - hf[..., channel], f"error {name}")
     fig.suptitle(f"t={t}", fontsize=10)
     path = out_dir / f"pred_t{t:04d}_{name}.png"
@@ -68,7 +79,7 @@ def plot_tke(
     out_dir = pathlib.Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     fig, axes = plt.subplots(1, 3, figsize=(12, 3.2))
-    vmax = float(max(tke_ref.max(), tke_pred.max())) or 1.0
+    vmax = _finite_max(tke_ref, tke_pred)
     _panel(axes[0], tke_ref, "TKE (HF reference)", cmap="viridis", vlim=(0, vmax))
     _panel(axes[1], tke_pred, "TKE (predicted)", cmap="viridis", vlim=(0, vmax))
     _panel(axes[2], tke_pred - tke_ref, "TKE error")
@@ -89,7 +100,7 @@ def plot_vorticity(
     out_dir = pathlib.Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     fig, axes = plt.subplots(1, 3, figsize=(12, 3.2))
-    vmax = float(np.abs(vort_ref).max()) or 1.0
+    vmax = _finite_max(vort_ref)
     _panel(axes[0], vort_ref, "vorticity (HF reference)", vlim=(-vmax, vmax))
     _panel(axes[1], vort_pred, "vorticity (pred mean)", vlim=(-vmax, vmax))
     _panel(axes[2], vort_pred - vort_ref, "vorticity error")
@@ -115,7 +126,7 @@ def plot_samples_grid(
     name = _CHANNELS[channel]
     n = min(max_samples, samples.shape[0])
     fig, axes = plt.subplots(1, n + 1, figsize=(3.2 * (n + 1), 3.0))
-    vmax = float(np.abs(hf[..., channel]).max()) or 1.0
+    vmax = _finite_max(hf[..., channel])
     _panel(axes[0], hf[..., channel], f"HF {name}", vlim=(-vmax, vmax))
     for i in range(n):
         _panel(

@@ -28,7 +28,7 @@ def trace_context(trace_dir: str | None):
 
 def force_completion(tree) -> None:
     """Force TRUE completion of a device computation by host-fetching
-    one element of one leaf (O(1) bytes).
+    one element of EVERY leaf (O(n_leaves) bytes).
 
     Use this — never ``jax.block_until_ready`` — before starting any
     timed region: block_until_ready has been observed returning early
@@ -36,11 +36,17 @@ def force_completion(tree) -> None:
     compile/execution into the timing (a 111 steps/s rollout once
     "measured" 0.2 steps/s this way). Bytes cannot arrive before the
     computation finishes, so the 1-element transfer is a real barrier.
+
+    Every leaf is fetched, not just the first: a pytree combining the
+    outputs of several sequentially dispatched executables is only
+    complete when the LAST one finishes — syncing one leaf would stop
+    the clock while later dispatches still run and silently inflate
+    the measured rate.
     """
     import numpy as np
 
-    leaf = jax.tree.leaves(tree)[0]
-    np.asarray(leaf.ravel()[:1] if hasattr(leaf, "ravel") else leaf)
+    for leaf in jax.tree.leaves(tree):
+        np.asarray(leaf.ravel()[:1] if hasattr(leaf, "ravel") else leaf)
 
 
 @contextlib.contextmanager
