@@ -185,3 +185,50 @@ def test_tmglow_sample_and_recurrence():
         method=TMGlow.sample_step,
     )
     assert not np.allclose(x1, x2)
+
+
+import dataclasses
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "overrides",
+    [
+        # Single scale (no Split layers at all on the path).
+        dict(n_scales=1, hf_shape=(8, 8), lf_shape=(4, 4)),
+        # Three scales on a non-square, wide-aspect grid (the
+        # production backward-step shape family), K=3.
+        dict(n_scales=3, n_flow_steps=3, hf_shape=(16, 32), lf_shape=(4, 8)),
+        # Odd widths: growth/width not powers of two.
+        dict(coupling_width=10, growth_rate=6, lstm_hidden=6,
+             cond_channels=6, encoder_width=6),
+    ],
+    ids=["one-scale", "three-scale-wide", "odd-widths"],
+)
+def test_invertibility_across_configs(overrides):
+    """The <1e-4 reconstruction gate holds across config space, not
+    just the canonical shape — single-scale (no splits), deep wide-
+    aspect grids, and non-power-of-two widths."""
+    cfg = dataclasses.replace(CFG, **overrides)
+    model = TMGlow(cfg)
+    hf = jax.random.normal(
+        jax.random.PRNGKey(31), (B, *cfg.hf_shape, cfg.channels), jnp.float32
+    )
+    lf = jax.random.normal(
+        jax.random.PRNGKey(32), (B, *cfg.lf_shape, cfg.channels), jnp.float32
+    )
+    state = init_lstm_state(cfg, (B,))
+    variables = model.init(jax.random.PRNGKey(33), hf, lf, state)
+    params = _perturb_couplings(variables["params"], jax.random.PRNGKey(34))
+    variables = {**variables, "params": params}
+    latents, logdet, logp, _ = model.apply(
+        variables, hf, lf, state, method=TMGlow.encode_step
+    )
+    assert np.all(np.isfinite(np.asarray(logdet)))
+    assert np.all(np.isfinite(np.asarray(logp)))
+    x_rec, _ = model.apply(
+        variables, latents, lf, state, method=TMGlow.reconstruct_step
+    )
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(hf),
+                               atol=1e-4, rtol=0)
