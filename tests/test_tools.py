@@ -325,3 +325,34 @@ def test_supervisor_crash_restart(tmp_path):
     res = supervise([sys.executable, "-S", "-c", child], hb, _sup_cfg(),
                     log=lambda m: None)
     assert (res.exit_code, res.restarts, res.crashes) == (0, 1, 1)
+
+
+def test_report_builds_from_eval_metrics(tmp_path):
+    """tools/report consolidates an evaluation run into report.md."""
+    import json
+
+    from tpuflow.tools.report import build_report
+
+    out = tmp_path / "case"
+    out.mkdir()
+    (out / "eval_metrics.json").write_text(json.dumps({
+        "test_bpd": -9.1, "field_rel_l2_mean": 0.012, "tke_rel_l2_mean": 0.02,
+        "n_test_traj": 2, "steps": 8, "n_samples": 4, "backend": "cpu",
+        "spread_scale": 2.0, "calibration_in_sample": False,
+        "coverage_holdout_raw": {"0.50": 0.2, "0.95": 0.5},
+        "coverage_holdout_recalibrated": {"0.50": 0.45, "0.95": 0.9},
+        "crps_holdout_raw": 0.01, "crps_holdout_recalibrated": 0.008,
+    }))
+    (out / "rollout_metrics.json").write_text(json.dumps({
+        "rollout_steps_per_sec": 111.0, "steps": 8, "n_samples": 4,
+        "temperature": 0.7, "backend": "cpu",
+    }))
+    (out / "tke.png").write_bytes(b"png")
+    md = build_report(out, "case")
+    assert "-9.1" in md and "111" in md and "tke.png" in md
+    assert "raw ensemble quantiles" in md and "0.45" in md
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="evaluate"):
+        build_report(tmp_path, "missing")

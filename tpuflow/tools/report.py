@@ -1,0 +1,167 @@
+"""Consolidated evaluation report: one markdown file per case.
+
+Parity+ over the reference's scattered per-figure outputs (SURVEY.md
+§2 "Visualization"): gathers everything one evaluation run produced —
+held-out likelihood, field/physics errors, UQ calibration before and
+after recalibration, rollout throughput, and the generated figures —
+into a single human-readable `report.md` next to them, with the
+checkpoint/config provenance needed to reproduce the numbers.
+
+Usage:
+  python -m tpuflow.tools.report <case> [key=value ...]
+
+Reads `{eval.output_dir}/{case}/eval_metrics.json` (written by
+`tpuflow.cli.evaluate`) and, when present, `rollout_metrics.json` and
+`temperature_sweep.json`; fails with guidance if evaluate has not run.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+
+def _fmt(v, nd=4) -> str:
+    if isinstance(v, float):
+        return f"{v:.{nd}g}"
+    return str(v)
+
+
+def _coverage_table(metrics: dict) -> list[str]:
+    """Nominal-vs-empirical coverage table across all reported interval
+    constructions (raw, single-factor, per-level)."""
+    raw = metrics.get("coverage_holdout_raw")
+    if not raw:
+        return []
+    rows = {
+        "raw ensemble quantiles": raw,
+        "recalibrated ensemble quantiles": metrics.get(
+            "coverage_holdout_recalibrated", {}
+        ),
+        "two-moment, single factor": metrics.get(
+            "coverage_holdout_single_factor", {}
+        ),
+        "two-moment, per-level factors": metrics.get(
+            "coverage_holdout_per_level", {}
+        ),
+    }
+    levels = sorted(raw)
+    lines = [
+        "| interval construction | " + " | ".join(levels) + " |",
+        "|---|" + "---|" * len(levels),
+    ]
+    for name, cov in rows.items():
+        if cov:
+            lines.append(
+                f"| {name} | "
+                + " | ".join(_fmt(cov.get(q, float("nan")), 3) for q in levels)
+                + " |"
+            )
+    scope = "IN-SAMPLE (single test trajectory)" if metrics.get(
+        "calibration_in_sample"
+    ) else "held-out (disjoint fit/report trajectories)"
+    lines.append(f"\nCalibration scope: {scope}; fitted spread_scale "
+                 f"{_fmt(metrics.get('spread_scale', float('nan')))} — deploy "
+                 "via `eval.spread_scale` on the rollout CLI.")
+    return lines
+
+
+def build_report(out_dir: pathlib.Path, case: str) -> str:
+    metrics_path = out_dir / "eval_metrics.json"
+    if not metrics_path.exists():
+        raise FileNotFoundError(
+            f"{metrics_path} not found — run "
+            f"`python -m tpuflow.cli.evaluate {case}` first"
+        )
+    m = json.loads(metrics_path.read_text())
+    lines = [
+        f"# {case} — evaluation report",
+        "",
+        f"Generated {time.strftime('%Y-%m-%d %H:%M:%S UTC', time.gmtime())} "
+        f"from `{metrics_path.name}` (backend: {m.get('backend', '?')}, "
+        f"{m.get('n_test_traj', '?')} test trajectories, "
+        f"{m.get('steps', '?')} steps, {m.get('n_samples', '?')}-member "
+        "ensemble).",
+        "",
+        "## Held-out likelihood and physics",
+        "",
+        "| metric | value |",
+        "|---|---|",
+    ]
+    physics = [
+        ("test NLL (bits/dim)", "test_bpd"),
+        ("field rel-L2 (ensemble mean vs HF)", "field_rel_l2_mean"),
+        ("TKE rel-L2", "tke_rel_l2_mean"),
+        ("vorticity rel-L2", "vorticity_rel_l2_mean"),
+        ("energy-spectrum log rel-L2", "spectrum_rel_l2"),
+        ("ensemble CRPS", "crps_mean"),
+        ("skewness MAE", "skew_mae"),
+        ("kurtosis MAE", "kurt_mae"),
+        ("Reynolds <u'v'> rel-L2", "reynolds_uv_rel_l2"),
+    ]
+    for label, key in physics:
+        if key in m:
+            lines.append(f"| {label} | {_fmt(m[key])} |")
+    lines += ["", "## UQ calibration", ""]
+    cov = _coverage_table(m)
+    if cov:
+        lines += cov
+    else:
+        lines.append("(no calibration section — ensemble too small or "
+                     "calibration_steps=0)")
+    if m.get("crps_holdout_raw") is not None:
+        lines += [
+            "",
+            f"Holdout CRPS: {_fmt(m['crps_holdout_raw'])} raw -> "
+            f"{_fmt(m.get('crps_holdout_recalibrated', float('nan')))} "
+            "recalibrated.",
+        ]
+
+    roll_path = out_dir / "rollout_metrics.json"
+    if roll_path.exists():
+        r = json.loads(roll_path.read_text())
+        lines += [
+            "",
+            "## Rollout throughput",
+            "",
+            f"- {_fmt(r.get('rollout_steps_per_sec', float('nan')))} steps/s "
+            f"({r.get('steps', '?')} steps, {r.get('n_samples', '?')}-member "
+            f"ensemble, tau={r.get('temperature', '?')}, backend "
+            f"{r.get('backend', '?')})",
+        ]
+
+    sweep_path = out_dir / "temperature_sweep.json"
+    if sweep_path.exists():
+        lines += [
+            "",
+            "## Temperature study",
+            "",
+            "See `temperature_sweep.png` / `temperature_sweep.json` "
+            "(per-tau field/TKE/CRPS/spread trade-off, paper §4).",
+        ]
+
+    figs = sorted(p.name for p in out_dir.glob("*.png"))
+    if figs:
+        lines += ["", "## Figures", ""]
+        lines += [f"![{f}]({f})" for f in figs]
+    lines.append("")
+    return "\n".join(lines)
+
+
+def main(argv=None) -> pathlib.Path:
+    from tpuflow.cli import parse_args
+
+    argv = sys.argv[1:] if argv is None else argv
+    cfg = parse_args(argv)
+    out_dir = pathlib.Path(cfg.eval.output_dir) / cfg.name
+    report = build_report(out_dir, cfg.name)
+    path = out_dir / "report.md"
+    path.write_text(report)
+    print(f"wrote {path}")
+    return path
+
+
+if __name__ == "__main__":
+    main()
