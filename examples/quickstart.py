@@ -71,4 +71,10 @@ rollout_main(small + [
     f"eval.output_dir={workdir}/eval_recalibrated",
 ])
 print(f"   recalibrated rollout stats written to eval_recalibrated/ "
-      f"(var_calibrated = var x {ev['spread_scale']:.2f}^2); done.")
+      f"(var_calibrated = var x {ev['spread_scale']:.2f}^2)")
+
+print("== 5. Consolidated report (tools/report.py)")
+from tpuflow.tools.report import main as report_main
+
+path = report_main(small)
+print(f"   one-page markdown summary of the run: {path}; done.")
