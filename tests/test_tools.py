@@ -356,3 +356,33 @@ def test_report_builds_from_eval_metrics(tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="evaluate"):
         build_report(tmp_path, "missing")
+
+
+def test_supervisor_cli_flag_parsing(monkeypatch, tmp_path):
+    """main() splits --supervisor flags from train passthrough args,
+    rejects unknown flags, and derives the heartbeat path from the
+    parsed case config."""
+    import pytest as _pytest
+
+    import tpuflow.tools.supervise_train as st
+
+    seen = {}
+
+    def fake_supervise(cmd, heartbeat, cfg, log=None):
+        seen["cmd"], seen["hb"], seen["cfg"] = cmd, heartbeat, cfg
+        return st.SupervisorResult(0, 0, 0, 0)
+
+    monkeypatch.setattr(st, "supervise", fake_supervise)
+    rc = st.main([
+        "backward-step", f"train.checkpoint_dir={tmp_path}",
+        "--stall-timeout=123", "--max-restarts=2",
+    ])
+    assert rc == 0
+    assert seen["cfg"].stall_timeout == 123.0
+    assert seen["cfg"].max_restarts == 2
+    assert str(seen["hb"]).endswith("backward-step/train_log.csv")
+    assert "--stall-timeout=123" not in seen["cmd"]  # not passed through
+    assert "backward-step" in seen["cmd"]
+
+    with _pytest.raises(SystemExit, match="unknown supervisor flag"):
+        st.main(["backward-step", "--bogus=1"])
