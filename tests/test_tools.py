@@ -239,7 +239,7 @@ def _sup_cfg(**kw):
 
     base = dict(
         stall_timeout=1.0, compile_grace=1.5, max_restarts=3,
-        poll_interval=0.1, max_leg_seconds=0.0,
+        poll_interval=0.1, max_leg_seconds=0.0, wedge_cooldown=0.0,
     )
     base.update(kw)
     return SupervisorConfig(**base)
@@ -304,6 +304,54 @@ def test_supervisor_restart_budget(tmp_path):
     )
     assert res.exit_code == 1
     assert res.restarts == 1 and res.stalls == 2
+
+
+def test_supervisor_wedge_cooldown(tmp_path):
+    """A no-first-heartbeat stall (wedged-tunnel signature) sleeps
+    wedge_cooldown before the relaunch — relaunching into a wedged
+    tunnel immediately has been observed to re-wedge it. A crash or
+    post-progress stall must NOT pay the cooldown."""
+    import sys
+    import time
+
+    from tpuflow.tools.supervise_train import supervise
+
+    hb = tmp_path / "train_log.csv"
+    marker = tmp_path / "already_ran"
+    child = (
+        "import pathlib, sys, time\n"
+        f"marker = pathlib.Path({str(marker)!r})\n"
+        "if marker.exists():\n"
+        "    sys.exit(0)\n"
+        "marker.touch()\n"
+        "time.sleep(60)\n"  # never heartbeats -> wedge signature
+    )
+    cmd = [sys.executable, "-S", "-c", child]
+    t0 = time.monotonic()
+    res = supervise(
+        cmd, hb, _sup_cfg(compile_grace=0.5, wedge_cooldown=2.0),
+        log=lambda m: None,
+    )
+    assert (res.exit_code, res.restarts, res.stalls) == (0, 1, 1)
+    assert time.monotonic() - t0 >= 2.0  # cooled down before relaunch
+
+    # Crash path: no cooldown even with a nonzero wedge_cooldown.
+    marker2 = tmp_path / "crash_ran"
+    crash_child = (
+        "import pathlib, sys\n"
+        f"marker = pathlib.Path({str(marker2)!r})\n"
+        "if marker.exists():\n"
+        "    sys.exit(0)\n"
+        "marker.touch()\n"
+        "sys.exit(3)\n"
+    )
+    t0 = time.monotonic()
+    res = supervise(
+        [sys.executable, "-S", "-c", crash_child], hb,
+        _sup_cfg(wedge_cooldown=30.0), log=lambda m: None,
+    )
+    assert (res.exit_code, res.crashes) == (0, 1)
+    assert time.monotonic() - t0 < 20  # relaunched immediately
 
 
 def test_supervisor_crash_restart(tmp_path):

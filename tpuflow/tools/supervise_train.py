@@ -44,6 +44,14 @@ class SupervisorConfig:
     measured at 400–900 s); ``stall_timeout`` applies after progress
     has been seen. ``max_leg_seconds`` (0 = unbounded) additionally
     bounds each attempt's wall clock, heartbeat or not.
+
+    ``wedge_cooldown`` is slept before relaunching after a
+    *no-first-heartbeat* stall — the signature of a wedged remote
+    accelerator tunnel (child hangs at client init). A wedged tunnel
+    needs quiet time with no client attached to recover (measured
+    ~10 min in production); relaunching immediately re-wedges it, so
+    the default cools down for 300 s. Crashes and post-progress
+    stalls relaunch immediately as before.
     """
 
     stall_timeout: float = 600.0
@@ -51,6 +59,7 @@ class SupervisorConfig:
     max_restarts: int = 5
     poll_interval: float = 10.0
     max_leg_seconds: float = 0.0
+    wedge_cooldown: float = 300.0
 
 
 @dataclasses.dataclass
@@ -119,6 +128,7 @@ def supervise(
         log(f"attempt {attempt}: {' '.join(cmd)}")
         proc = subprocess.Popen(cmd)
         reason = None
+        wedged = False
         while True:
             code = proc.poll()
             if code is not None:
@@ -141,6 +151,7 @@ def supervise(
                     f"stall ({since:.0f}s without heartbeat on {hb.name}; "
                     f"{'post-progress' if seen_progress else 'no first heartbeat'})"
                 )
+                wedged = not seen_progress
                 stalls += 1
                 _stop(proc, log)
                 break
@@ -156,6 +167,10 @@ def supervise(
         restarts += 1
         log(f"{reason}; restarting from latest checkpoint "
             f"({restarts}/{cfg.max_restarts})")
+        if wedged and cfg.wedge_cooldown > 0:
+            log(f"no-first-heartbeat stall looks like a wedged tunnel; "
+                f"cooling down {cfg.wedge_cooldown:.0f}s before relaunch")
+            time.sleep(cfg.wedge_cooldown)
 
 
 def main(argv=None) -> int:
