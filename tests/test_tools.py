@@ -434,3 +434,66 @@ def test_supervisor_cli_flag_parsing(monkeypatch, tmp_path):
 
     with _pytest.raises(SystemExit, match="unknown supervisor flag"):
         st.main(["backward-step", "--bogus=1"])
+
+
+# ------------------------------------------------------------- inspect_data
+
+
+def test_inspect_data_ok_archive(tmp_path, capsys):
+    """A contract-conforming archive inspects clean: shapes, stats,
+    high LF<->HF correlation (synthetic fixtures are pooled HF), exit 0."""
+    from tpuflow.data import generate_case
+    from tpuflow.data.dataset import save_archive
+    from tpuflow.tools.inspect_data import inspect_archive, main
+
+    lf, hf = generate_case("backward-step", 2, 4, (32, 64), (8, 16), seed=3)
+    p = tmp_path / "backward-step_train.npz"
+    save_archive(p, lf, hf)
+
+    rec = inspect_archive(p, n_scales=3)
+    assert rec["ok"], rec["errors"]
+    assert rec["lf_shape"] == [2, 4, 8, 16, 3]
+    assert max(rec["lf_hf_correlation"].values()) > 0.5
+
+    assert main([str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "contract: OK" in out and "lf<->hf corr" in out
+
+
+def test_inspect_data_flags_violations(tmp_path, capsys):
+    """Misaligned (N, T), bad squeeze divisibility, and NaNs are each
+    reported as contract errors; exit code 1."""
+    import numpy as np
+
+    from tpuflow.data.dataset import save_archive
+    from tpuflow.tools.inspect_data import inspect_archive, main
+
+    lf = np.zeros((2, 4, 8, 16, 3), np.float32)
+    hf = np.zeros((2, 3, 30, 62, 3), np.float32)  # T mismatch + not /8
+    hf[0, 0, 0, 0, 0] = np.nan
+    p = tmp_path / "bad.npz"
+    save_archive(p, lf, hf)
+
+    rec = inspect_archive(p, n_scales=3)
+    assert not rec["ok"]
+    msgs = " ".join(rec["errors"])
+    assert "misaligned" in msgs
+    assert "divisible" in msgs
+    assert "non-finite" in msgs
+    assert main([str(p)]) == 1
+    assert "VIOLATED" in capsys.readouterr().out
+
+
+def test_inspect_data_json_mode(tmp_path, capsys):
+    import json as _json
+
+    from tpuflow.data import generate_case
+    from tpuflow.data.dataset import save_archive
+    from tpuflow.tools.inspect_data import main
+
+    lf, hf = generate_case("cylinder-array", 1, 2, (32, 64), (8, 16), seed=0)
+    p = tmp_path / "c.npz"
+    save_archive(p, lf, hf)
+    assert main([str(p), "--json", "--n-scales=2"]) == 0
+    rec = _json.loads(capsys.readouterr().out)
+    assert rec["ok"] and rec["hf_shape"] == [1, 2, 32, 64, 3]
