@@ -497,3 +497,86 @@ def test_inspect_data_json_mode(tmp_path, capsys):
     assert main([str(p), "--json", "--n-scales=2"]) == 0
     rec = _json.loads(capsys.readouterr().out)
     assert rec["ok"] and rec["hf_shape"] == [1, 2, 32, 64, 3]
+
+
+# -------------------------------------------------------- inspect_checkpoint
+
+
+def _tiny_checkpoint(tmp_path, mutate=None):
+    """Save a real (tiny-config) training state and return its dir."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpuflow.configs.config import CaseConfig, DataConfig
+    from tpuflow.train.checkpoint import Checkpointer
+    from tpuflow.train.step import make_optimizer
+
+    cfg = CaseConfig(name="backward-step", model=MC, data=DataConfig())
+    model = TMGlow(MC)
+    hf = jax.random.normal(jax.random.PRNGKey(1), (1, *MC.hf_shape, 3))
+    lf = jax.random.normal(jax.random.PRNGKey(2), (1, *MC.lf_shape, 3))
+    variables = model.init(
+        jax.random.PRNGKey(0), hf, lf, init_lstm_state(MC, (1,))
+    )
+    opt = make_optimizer(1e-3, 0.995, 10.0)
+    state = {
+        "params": variables["params"],
+        "buffers": variables["buffers"],
+        "opt_state": opt.init(variables["params"]),
+        "norm": {k: jnp.ones((3,)) for k in
+                 ("lf_mean", "lf_std", "hf_mean", "hf_std")},
+    }
+    if mutate:
+        state = mutate(state)
+    d = tmp_path / "run"
+    ck = Checkpointer(d)
+    ck.save(7, state, meta={"epoch": 7, "global_step": 70,
+                            "config": dataclasses.asdict(cfg)})
+    ck.close()
+    return d
+
+
+def test_inspect_checkpoint_ok(tmp_path, capsys):
+    from tpuflow.tools.inspect_checkpoint import inspect_checkpoint, main
+
+    d = _tiny_checkpoint(tmp_path)
+    rec = inspect_checkpoint(d)
+    assert rec["ok"], rec["errors"]
+    assert rec["steps"] == [7] and rec["epoch"] == 7
+    assert rec["params"]["values"] > 0
+    assert main([str(d)]) == 0
+    assert "checkpoint: OK" in capsys.readouterr().out
+
+
+def test_inspect_checkpoint_flags_drift_and_nonfinite(tmp_path, capsys):
+    """A shape drifted from the stored config and a NaN leaf are both
+    reported; exit 1."""
+    import numpy as np
+
+    from tpuflow.tools.inspect_checkpoint import inspect_checkpoint, main
+
+    def mutate(state):
+        import jax
+
+        leaves, treedef = jax.tree.flatten(state["params"])
+        leaves[0] = np.concatenate([np.asarray(leaves[0])] * 2, axis=-1)
+        leaves[1] = np.full_like(np.asarray(leaves[1]), np.nan)
+        state["params"] = jax.tree.unflatten(treedef, leaves)
+        return state
+
+    d = _tiny_checkpoint(tmp_path, mutate=mutate)
+    rec = inspect_checkpoint(d)
+    assert not rec["ok"]
+    msgs = " ".join(rec["errors"])
+    assert "non-finite" in msgs and "shape" in msgs
+    assert main([str(d)]) == 1
+    assert "UNSOUND" in capsys.readouterr().out
+
+
+def test_inspect_checkpoint_empty_dir(tmp_path):
+    from tpuflow.tools.inspect_checkpoint import inspect_checkpoint
+
+    rec = inspect_checkpoint(tmp_path / "none")
+    assert not rec["ok"] and "no checkpoint" in rec["errors"][0]
