@@ -245,3 +245,25 @@ def test_device_resident_matches_host_upload(tmp_path):
     assert np.isclose(m1["mean_bpd"], m2["mean_bpd"], atol=1e-6), (m1, m2)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_trainer_periodic_validation(tmp_path):
+    """train.eval_every computes held-out NLL on the test split (TRAIN
+    normalization constants) and appends val_log.csv rows."""
+    import csv
+
+    cfg = _tiny_cfg(tmp_path, eval_every=1)
+    tr = Trainer(cfg, logger=MetricsLogger(quiet=True))
+    tr.init_or_resume()
+    last = tr.run(epochs=2)
+    assert np.isfinite(last["val_bpd"])
+    # The lazy validation dataset reused the train constants.
+    np.testing.assert_array_equal(
+        tr._val_data.norm.to_dict()["hf_mean"],
+        tr.dataset.norm.to_dict()["hf_mean"],
+    )
+    with open(tmp_path / "backward-step" / "val_log.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2  # one per epoch at eval_every=1
+    assert {r["epoch"] for r in rows} == {"1.0", "2.0"}
+    assert all(np.isfinite(float(r["val_bpd"])) for r in rows)

@@ -129,6 +129,11 @@ class TrainConfig:
     # Save a sample-vs-target figure every N epochs (0 = off) — the
     # reference's periodic sample+plot during training (SURVEY.md §3.1).
     plot_every: int = 0
+    # Compute held-out (test-split) NLL every N epochs (0 = off) and
+    # append it to val_log.csv next to train_log.csv — the paper's
+    # train/validation monitoring; the test split reuses the TRAIN
+    # normalization constants, same as evaluation.
+    eval_every: int = 0
     # Log a metrics row every N global steps (0 = off).
     log_every: int = 10
     seed: int = 42

@@ -309,7 +309,33 @@ class Trainer:
                 self.save()
             if cfg.train.plot_every and self.epoch % cfg.train.plot_every == 0:
                 self._plot_sample()
+            if cfg.train.eval_every and self.epoch % cfg.train.eval_every == 0:
+                last["val_bpd"] = self._validate()
         return last
+
+    def _validate(self) -> float:
+        """Held-out NLL (bits/dim) over the whole test split, logged to
+        val_log.csv (the paper's train/validation monitoring). The test
+        split is normalized with the TRAIN constants — identical to
+        evaluation-time loading — and the scan is jitted once."""
+        if not hasattr(self, "_val_nll"):
+            from tpuflow.eval.rollout import make_nll_eval
+
+            self._val_data = load_dataset(
+                self.cfg.data, self.cfg.model, "test", norm=self.dataset.norm
+            )
+            self._val_nll = jax.jit(make_nll_eval(self.model))
+            self._val_logger = MetricsLogger(
+                f"{self.cfg.train.checkpoint_dir}/{self.cfg.name}/val_log.csv"
+            )
+        bpds = self._val_nll(
+            self.variables,
+            jnp.asarray(self._val_data.lf),
+            jnp.asarray(self._val_data.hf),
+        )
+        val = float(jnp.mean(bpds))
+        self._val_logger.log(self.global_step, epoch=self.epoch, val_bpd=val)
+        return val
 
     def _plot_sample(self) -> None:
         """Periodic sample figure during training (reference behaviour:
