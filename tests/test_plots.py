@@ -70,3 +70,25 @@ def test_panels_survive_nan_fields(tmp_path):
     bad[2, 2] = np.nan
     out = plot_prediction_panels(tmp_path, f, bad, bad, np.abs(bad), 0)
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_training_curves_figure(tmp_path):
+    """Epoch-averaged train curve + held-out overlay; None-safe when
+    logs are missing or empty."""
+    from tpuflow.eval.plots import plot_training_curves
+
+    tlog = tmp_path / "train_log.csv"
+    tlog.write_text(
+        "step,wall_s,epoch,bpd,grad_norm\n"
+        "1,0.1,1.0,2.0,5.0\n2,0.2,1.0,1.8,5.0\n3,0.3,2.0,nan,5.0\n"
+        "4,0.4,2.0,1.5,5.0\n"
+    )
+    vlog = tmp_path / "val_log.csv"
+    vlog.write_text("step,wall_s,epoch,val_bpd\n2,0.2,1.0,2.2\n4,0.4,2.0,1.9\n")
+    p = plot_training_curves(tmp_path / "out", tlog, vlog)
+    assert p is not None and p.exists() and p.name == "training_curves.png"
+
+    assert plot_training_curves(tmp_path / "out", tmp_path / "absent.csv") is None
+    empty = tmp_path / "empty.csv"
+    empty.write_text("step,wall_s,epoch,bpd\n")
+    assert plot_training_curves(tmp_path / "out", empty) is None

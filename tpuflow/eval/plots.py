@@ -283,3 +283,59 @@ def plot_nll_curve(
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return path
+
+
+def plot_training_curves(
+    out_dir: str | pathlib.Path,
+    train_log: str | pathlib.Path,
+    val_log: str | pathlib.Path | None = None,
+) -> pathlib.Path | None:
+    """Training-NLL curve (epoch-averaged train bits/dim from
+    ``train_log.csv``) with the held-out curve from ``val_log.csv``
+    overlaid when present (``train.eval_every``). Returns None when the
+    train log is missing/empty — report generation must not fail on a
+    run that never logged."""
+    import csv
+
+    train_log = pathlib.Path(train_log)
+    if not train_log.exists():
+        return None
+    per_epoch: dict[float, list[float]] = {}
+    with open(train_log) as f:
+        for row in csv.DictReader(f):
+            try:
+                e, b = float(row["epoch"]), float(row["bpd"])
+            except (KeyError, TypeError, ValueError):
+                continue
+            if np.isfinite(b):
+                per_epoch.setdefault(e, []).append(b)
+    if not per_epoch:
+        return None
+    epochs = sorted(per_epoch)
+    train_bpd = [float(np.mean(per_epoch[e])) for e in epochs]
+
+    out_dir = pathlib.Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    fig, ax = plt.subplots(figsize=(6, 3.2))
+    ax.plot(epochs, train_bpd, label="train")
+    if val_log is not None and pathlib.Path(val_log).exists():
+        ve, vb = [], []
+        with open(val_log) as f:
+            for row in csv.DictReader(f):
+                try:
+                    e, b = float(row["epoch"]), float(row["val_bpd"])
+                except (KeyError, TypeError, ValueError):
+                    continue
+                if np.isfinite(b):
+                    ve.append(e)
+                    vb.append(b)
+        if ve:
+            ax.plot(ve, vb, label="held-out", linestyle="--")
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("bits/dim")
+    ax.grid(alpha=0.3)
+    ax.legend(fontsize=8)
+    path = out_dir / "training_curves.png"
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path

@@ -156,6 +156,16 @@ def main(argv=None) -> pathlib.Path:
     argv = sys.argv[1:] if argv is None else argv
     cfg = parse_args(argv)
     out_dir = pathlib.Path(cfg.eval.output_dir) / cfg.name
+
+    # Training curves figure from the run's logs (None-safe when the
+    # checkpoint dir has no logs — e.g. converted checkpoints).
+    from tpuflow.eval.plots import plot_training_curves
+
+    run_dir = pathlib.Path(cfg.train.checkpoint_dir) / cfg.name
+    plot_training_curves(
+        out_dir, run_dir / "train_log.csv", run_dir / "val_log.csv"
+    )
+
     report = build_report(out_dir, cfg.name)
     path = out_dir / "report.md"
     path.write_text(report)
