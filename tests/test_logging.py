@@ -35,3 +35,27 @@ def test_tensorboard_summaries(tmp_path):
             if v.tag == "bpd":
                 vals[e.step] = float(tf.make_ndarray(v.tensor))
     assert vals == {1: 2.5, 2: 2.0}
+
+
+def test_logger_touch_advances_mtime(tmp_path):
+    """touch() bumps the CSV mtime (the supervisor heartbeat) without
+    adding rows; no-ops safely with no path or before the first row."""
+    import os
+    import time
+
+    from tpuflow.utils.logging import MetricsLogger
+
+    MetricsLogger(quiet=True).touch()  # stdout-only logger: no-op
+
+    p = tmp_path / "train_log.csv"
+    lg = MetricsLogger(p, quiet=True)
+    lg.touch()  # file not created yet: no-op
+    lg.log(1, bpd=2.0)
+    old = os.stat(p)
+    os.utime(p, (old.st_atime, old.st_mtime - 100))
+    before = os.stat(p).st_mtime
+    lg.touch()
+    assert os.stat(p).st_mtime > before
+    with open(p) as f:
+        assert len(f.readlines()) == 2  # header + one row, no extras
+    lg.close()

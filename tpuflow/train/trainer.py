@@ -328,6 +328,10 @@ class Trainer:
             self._val_logger = MetricsLogger(
                 f"{self.cfg.train.checkpoint_dir}/{self.cfg.name}/val_log.csv"
             )
+        # Keep the supervisor heartbeat alive across the (possibly
+        # minutes-long, remote-compiled) first validation compile —
+        # validation is progress, not a stall.
+        self.logger.touch()
         bpds = self._val_nll(
             self.variables,
             jnp.asarray(self._val_data.lf),
@@ -335,6 +339,7 @@ class Trainer:
         )
         val = float(jnp.mean(bpds))
         self._val_logger.log(self.global_step, epoch=self.epoch, val_bpd=val)
+        self.logger.touch()
         return val
 
     def _plot_sample(self) -> None:

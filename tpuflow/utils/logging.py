@@ -83,6 +83,17 @@ class MetricsLogger:
             )
             print(parts, file=sys.stdout, flush=True)
 
+    def touch(self) -> None:
+        """Advance the CSV file's mtime without writing a row. The
+        training supervisor uses that mtime as the liveness heartbeat;
+        healthy-but-rowless phases (e.g. the first compile of the
+        periodic validation step) call this so they are not mistaken
+        for a wedged run."""
+        if self._path and self._path.exists():
+            import os
+
+            os.utime(self._path)
+
     def close(self) -> None:
         if self._file:
             self._file.close()
