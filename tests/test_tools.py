@@ -580,3 +580,30 @@ def test_inspect_checkpoint_empty_dir(tmp_path):
 
     rec = inspect_checkpoint(tmp_path / "none")
     assert not rec["ok"] and "no checkpoint" in rec["errors"][0]
+
+
+# ------------------------------------------------------------- compare_runs
+
+
+def test_compare_runs(tmp_path, capsys):
+    import json as _json
+
+    from tpuflow.tools.compare_runs import compare, main
+
+    a = {"test_bpd": -9.0, "field_rel_l2_mean": 0.015, "crps_mean": 0.005,
+         "n_samples": 64, "backend": "tpu", "ensemble_var_mean": 1.0}
+    b = {"test_bpd": -9.5, "field_rel_l2_mean": 0.017, "crps_mean": 0.005,
+         "n_samples": 4, "backend": "tpu", "ensemble_var_mean": 2.0}
+    r = compare(a, b)
+    assert r["rows"]["test_bpd"]["verdict"] == "better"       # bpd down
+    assert r["rows"]["field_rel_l2_mean"]["verdict"] == "worse"
+    assert r["rows"]["crps_mean"]["verdict"] == ""            # unchanged
+    assert r["rows"]["ensemble_var_mean"]["verdict"] == ""    # no direction
+    assert any("n_samples" in m for m in r["context_mismatches"])
+
+    pa, pb = tmp_path / "a.json", tmp_path / "b.json"
+    pa.write_text(_json.dumps(a))
+    pb.write_text(_json.dumps(b))
+    assert main([str(pa), str(pb)]) == 0
+    out = capsys.readouterr().out
+    assert "CONTEXT MISMATCH" in out and "1 better, 1 worse" in out
