@@ -92,7 +92,10 @@ def main(argv=None) -> int:
         return 2
     pa, pb = (pathlib.Path(p) for p in paths)
     result = compare(json.loads(pa.read_text()), json.loads(pb.read_text()))
-    print(json.dumps(result) if as_json else _fmt(result, str(pa), str(pb)))
+    try:
+        print(json.dumps(result) if as_json else _fmt(result, str(pa), str(pb)))
+    except BrokenPipeError:  # piped into head/less that exited early
+        pass
     return 0
 
 
