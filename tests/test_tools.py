@@ -576,10 +576,35 @@ def test_inspect_checkpoint_flags_drift_and_nonfinite(tmp_path, capsys):
 
 
 def test_inspect_checkpoint_empty_dir(tmp_path):
+    """A mistyped path reports cleanly AND is not created on disk (an
+    inspector must be read-only); an existing-but-empty dir reports
+    'no checkpoint'."""
     from tpuflow.tools.inspect_checkpoint import inspect_checkpoint
 
-    rec = inspect_checkpoint(tmp_path / "none")
+    missing = tmp_path / "none"
+    rec = inspect_checkpoint(missing)
+    assert not rec["ok"] and "does not exist" in rec["errors"][0]
+    assert not missing.exists()
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    rec = inspect_checkpoint(empty)
     assert not rec["ok"] and "no checkpoint" in rec["errors"][0]
+
+
+def test_inspect_checkpoint_corrupted_save(tmp_path):
+    """A truncated/corrupted save reports UNSOUND instead of an orbax
+    traceback (the OPERATIONS.md troubleshooting contract)."""
+    from tpuflow.tools.inspect_checkpoint import inspect_checkpoint
+
+    d = _tiny_checkpoint(tmp_path)
+    # Corrupt the array store: truncate every file under state/.
+    for f in (d / "7" / "state").rglob("*"):
+        if f.is_file():
+            f.write_bytes(b"corrupt")
+    rec = inspect_checkpoint(d)
+    assert not rec["ok"]
+    assert any("restore failed" in e for e in rec["errors"])
 
 
 # ------------------------------------------------------------- compare_runs
@@ -607,3 +632,43 @@ def test_compare_runs(tmp_path, capsys):
     assert main([str(pa), str(pb)]) == 0
     out = capsys.readouterr().out
     assert "CONTEXT MISMATCH" in out and "1 better, 1 worse" in out
+
+
+def test_inspect_data_handles_malformed_archives(tmp_path):
+    """Review regressions: 4-D archives, swapped lf/hf grids, and
+    empty (N=0) archives must produce reports, not tracebacks."""
+    import numpy as np
+
+    from tpuflow.data.dataset import save_archive
+    from tpuflow.tools.inspect_data import inspect_archive, main
+
+    # 4-D (missing trajectory axis): contract violation, no KeyError.
+    p4 = tmp_path / "4d.npz"
+    np.savez_compressed(p4, lf=np.zeros((4, 8, 16, 3), np.float32),
+                        hf=np.zeros((4, 32, 64, 3), np.float32))
+    rec = inspect_archive(p4)
+    assert not rec["ok"] and "5-D" in rec["errors"][0]
+    assert main([str(p4)]) == 1
+
+    # Swapped lf/hf (HF grid smaller than LF): detected as a warning.
+    ps = tmp_path / "swapped.npz"
+    save_archive(ps, np.random.rand(1, 2, 16, 32, 3).astype(np.float32),
+                 np.random.rand(1, 2, 8, 16, 3).astype(np.float32))
+    rec = inspect_archive(ps, n_scales=3)
+    assert any("swapped" in w for w in rec["warnings"])
+
+    # Zero trajectories: contract error, no reduction-identity crash.
+    pe = tmp_path / "empty.npz"
+    save_archive(pe, np.zeros((0, 4, 8, 16, 3), np.float32),
+                 np.zeros((0, 4, 32, 64, 3), np.float32))
+    rec = inspect_archive(pe)
+    assert not rec["ok"] and "empty" in rec["errors"][0]
+
+
+def test_compare_runs_rejects_unknown_flags(tmp_path):
+    import pytest as _pytest
+
+    from tpuflow.tools.compare_runs import main
+
+    with _pytest.raises(SystemExit, match="unknown flag"):
+        main(["a.json", "b.json", "--Json"])

@@ -259,7 +259,7 @@ def test_trainer_periodic_validation(tmp_path):
     assert np.isfinite(last["val_bpd"])
     # The lazy validation dataset reused the train constants.
     np.testing.assert_array_equal(
-        tr._val_data.norm.to_dict()["hf_mean"],
+        tr._val_norm.to_dict()["hf_mean"],
         tr.dataset.norm.to_dict()["hf_mean"],
     )
     with open(tmp_path / "backward-step" / "val_log.csv") as f:
@@ -267,3 +267,25 @@ def test_trainer_periodic_validation(tmp_path):
     assert len(rows) == 2  # one per epoch at eval_every=1
     assert {r["epoch"] for r in rows} == {"1.0", "2.0"}
     assert all(np.isfinite(float(r["val_bpd"])) for r in rows)
+
+
+def test_trainer_eval_every_requires_test_split(tmp_path):
+    """train.eval_every fails at STARTUP when the test archive is
+    missing — not hours later at the first validation boundary."""
+    import pytest
+
+    from tpuflow.data import generate_case
+    from tpuflow.data.dataset import save_archive
+
+    lf, hf = generate_case("backward-step", 4, 4, MC.hf_shape, MC.lf_shape, 0)
+    save_archive(tmp_path / "data" / "backward-step_train.npz", lf, hf)
+    cfg = _tiny_cfg(tmp_path, eval_every=1)
+    cfg = CaseConfig(
+        name=cfg.name, model=cfg.model, train=cfg.train, eval=cfg.eval,
+        data=DataConfig(
+            synthetic=False, case="backward-step",
+            data_dir=str(tmp_path / "data"), window=2, batch_size=4,
+        ),
+    )
+    with pytest.raises(ValueError, match="test split"):
+        Trainer(cfg, logger=MetricsLogger(quiet=True))

@@ -85,8 +85,14 @@ def _fmt(result: dict, name_a: str, name_b: str) -> str:
 
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
-    as_json = "--json" in argv
-    paths = [a for a in argv if not a.startswith("--")]
+    as_json, paths = False, []
+    for a in argv:
+        if a == "--json":
+            as_json = True
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown flag {a}")
+        else:
+            paths.append(a)
     if len(paths) != 2:
         print(__doc__)
         return 2

@@ -45,13 +45,23 @@ def inspect_checkpoint(run_dir: str | pathlib.Path, step: int | None = None) -> 
     from tpuflow.train.checkpoint import Checkpointer
 
     run_dir = pathlib.Path(run_dir)
+    if not run_dir.is_dir():
+        # Do NOT construct a Checkpointer here: it mkdir-s the path, and
+        # an inspector must never create the run directory it was asked
+        # to look at (a typo would leave a bogus empty run behind).
+        return {"path": str(run_dir), "steps": [],
+                "errors": ["run directory does not exist"], "ok": False}
+    steps = sorted(
+        int(p.name) for p in run_dir.iterdir()
+        if p.is_dir() and p.name.isdigit()
+    )
     ckpt = Checkpointer(run_dir)
     try:
-        steps = sorted(
-            int(p.name) for p in run_dir.iterdir()
-            if p.is_dir() and p.name.isdigit()
-        )
         out = ckpt.restore(step)  # latest if step None; plain-dict pytrees
+    except Exception as e:  # corrupted saves must report, not crash
+        return {"path": str(run_dir), "steps": steps,
+                "errors": [f"restore failed: {type(e).__name__}: {e}"],
+                "ok": False}
     finally:
         ckpt.close()
     if out is None:

@@ -61,6 +61,13 @@ def inspect_archive(path: str | pathlib.Path, n_scales: int = 3) -> dict:
         rec["errors"].append(
             f"lf/hf must be 5-D (N, T, h, w, C); got lf {lf.shape}, hf {hf.shape}"
         )
+        rec["ok"] = False
+        return rec
+    if lf.size == 0 or hf.size == 0:
+        rec["errors"].append(
+            f"empty archive: lf {lf.shape}, hf {hf.shape} contain no data"
+        )
+        rec["ok"] = False
         return rec
     if lf.shape[:2] != hf.shape[:2]:
         rec["errors"].append(
@@ -97,7 +104,13 @@ def inspect_archive(path: str | pathlib.Path, n_scales: int = 3) -> dict:
         }
 
     # LF<->HF pairing sanity: pooled-HF vs LF per-channel correlation.
-    if not rec["errors"]:
+    if hf.shape[2] < lf.shape[2] or hf.shape[3] < lf.shape[3]:
+        rec["warnings"].append(
+            f"HF grid {hf.shape[2]}x{hf.shape[3]} is SMALLER than the LF "
+            f"grid {lf.shape[2]}x{lf.shape[3]} — lf/hf datasets are likely "
+            "swapped (contract: hf is the fine grid)"
+        )
+    elif not rec["errors"]:
         pooled = _pool_to(hf, lf.shape[2], lf.shape[3])
         corr = {}
         for c in range(lf.shape[-1]):

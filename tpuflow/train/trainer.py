@@ -81,6 +81,21 @@ class Trainer:
                 f"trajectory length {self.dataset.n_steps}: no BPTT window "
                 "fits, so training would silently do nothing"
             )
+        if cfg.train.eval_every and not cfg.data.synthetic:
+            # Fail at STARTUP if the test split is missing, not hours
+            # into the run at the first eval_every boundary (validation
+            # loads it lazily).
+            import pathlib as _pl
+
+            from tpuflow.data.dataset import _find_archive
+
+            try:
+                _find_archive(_pl.Path(cfg.data.data_dir), cfg.data.case, "test")
+            except FileNotFoundError as e:
+                raise ValueError(
+                    f"train.eval_every={cfg.train.eval_every} needs the test "
+                    f"split, which is not available: {e}"
+                ) from e
         self.optimizer = make_optimizer(
             cfg.train.lr, cfg.train.lr_decay, cfg.train.grad_clip,
             cfg.train.weight_decay,
@@ -317,29 +332,43 @@ class Trainer:
         """Held-out NLL (bits/dim) over the whole test split, logged to
         val_log.csv (the paper's train/validation monitoring). The test
         split is normalized with the TRAIN constants — identical to
-        evaluation-time loading — and the scan is jitted once."""
+        evaluation-time loading; the scan is jitted once and the split
+        is uploaded to the device once."""
         if not hasattr(self, "_val_nll"):
             from tpuflow.eval.rollout import make_nll_eval
 
-            self._val_data = load_dataset(
+            val_data = load_dataset(
                 self.cfg.data, self.cfg.model, "test", norm=self.dataset.norm
             )
+            self._val_norm = val_data.norm
+            self._val_lf = jnp.asarray(val_data.lf)
+            self._val_hf = jnp.asarray(val_data.hf)
             self._val_nll = jax.jit(make_nll_eval(self.model))
             self._val_logger = MetricsLogger(
                 f"{self.cfg.train.checkpoint_dir}/{self.cfg.name}/val_log.csv"
             )
-        # Keep the supervisor heartbeat alive across the (possibly
-        # minutes-long, remote-compiled) first validation compile —
-        # validation is progress, not a stall.
+        # Keep the supervisor heartbeat alive for the whole validation,
+        # including the (possibly many-minutes, remote-compiled) FIRST
+        # compile — validation is progress, not a stall, and a single
+        # pre-touch cannot outlast a compile longer than stall_timeout.
+        import threading
+
+        stop = threading.Event()
+
+        def _tick():
+            while not stop.wait(60.0):
+                self.logger.touch()
+
+        ticker = threading.Thread(target=_tick, daemon=True)
         self.logger.touch()
-        bpds = self._val_nll(
-            self.variables,
-            jnp.asarray(self._val_data.lf),
-            jnp.asarray(self._val_data.hf),
-        )
-        val = float(jnp.mean(bpds))
+        ticker.start()
+        try:
+            bpds = self._val_nll(self.variables, self._val_lf, self._val_hf)
+            val = float(jnp.mean(bpds))
+        finally:
+            stop.set()
+            ticker.join()
         self._val_logger.log(self.global_step, epoch=self.epoch, val_bpd=val)
-        self.logger.touch()
         return val
 
     def _plot_sample(self) -> None:
