@@ -672,3 +672,44 @@ def test_compare_runs_rejects_unknown_flags(tmp_path):
 
     with _pytest.raises(SystemExit, match="unknown flag"):
         main(["a.json", "b.json", "--Json"])
+
+
+# ------------------------------------------------------------------- doctor
+
+
+def test_doctor_subprocess_runner():
+    """_sub: success returns last stdout line; failures and timeouts
+    are reported, never raised (a wedged probe must not hang/crash)."""
+    from tpuflow.tools.doctor import _sub
+
+    ok, out = _sub("print('a'); print('b')", timeout=30)
+    assert ok and out == "b"
+    ok, out = _sub("import sys; sys.exit(3)", timeout=30)
+    assert not ok
+    ok, out = _sub("raise ValueError('boom')", timeout=30)
+    assert not ok and "boom" in out
+    ok, out = _sub("import time; time.sleep(60)", timeout=1)
+    assert not ok and "timed out" in out
+
+
+def test_doctor_aggregation(monkeypatch, capsys):
+    """A failed WARN-only check (wedged device probe) keeps the doctor
+    healthy; a failed required check does not."""
+    import tpuflow.tools.doctor as doc
+
+    def fake_sub(code, timeout, env_extra=None):
+        if "jax.devices" in code and "cpu" not in code:
+            return False, "timed out after 5s"
+        return True, "ok"
+
+    monkeypatch.setattr(doc, "_sub", fake_sub)
+    assert doc.main(["--probe-timeout=5"]) == 0
+    out = capsys.readouterr().out
+    assert "WARN device" in out and "doctor: healthy" in out
+
+    def all_fail(code, timeout, env_extra=None):
+        return False, "broken"
+
+    monkeypatch.setattr(doc, "_sub", all_fail)
+    assert doc.main([]) == 1
+    assert "NOT healthy" in capsys.readouterr().out
