@@ -163,6 +163,10 @@ def supervise(
             time.sleep(cfg.poll_interval)
         if restarts >= cfg.max_restarts:
             log(f"{reason}; restart budget spent ({cfg.max_restarts}) — giving up")
+            if wedged:
+                log("every attempt died without a first heartbeat — run "
+                    "`tpuflow-doctor` to check whether the accelerator "
+                    "tunnel is reachable at all")
             return SupervisorResult(1, restarts, stalls, crashes)
         restarts += 1
         log(f"{reason}; restarting from latest checkpoint "
