@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import threading
 import time
@@ -115,8 +116,41 @@ def _log(msg: str) -> None:
         print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
+def _accelerator_reachable() -> bool:
+    """Bounded subprocess probe of the default (accelerator) backend.
+
+    The tunneled TPU client HANGS at init (does not error) when the
+    tunnel is wedged, so the probe must live in a child process we can
+    kill. Probing before this process touches any backend lets us fall
+    back to CPU and still emit the one JSON line the driver records,
+    instead of tripping the watchdog with no output at all.
+    """
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=110,
+            capture_output=True,
+        )
+        return proc.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
 def main() -> None:
     threading.Thread(target=_watchdog, daemon=True).start()
+    fallback = False
+    plat = os.environ.get("TPUFLOW_PLATFORM")
+    if plat:
+        # Same contract as the CLI entry points (tpuflow/cli/__init__.py):
+        # JAX_PLATFORMS alone cannot override the force-registered plugin.
+        jax.config.update("jax_platforms", plat)
+    elif not _accelerator_reachable():
+        _log(
+            "accelerator probe failed/hung (tunnel wedged?) — falling back "
+            "to CPU so a result line is still emitted"
+        )
+        jax.config.update("jax_platforms", "cpu")
+        fallback = True
     on_tpu = jax.default_backend() == "tpu"
     _log("building model (init)...")
     # XLA coupling path on both sides — measured faster than the Pallas
@@ -124,7 +158,13 @@ def main() -> None:
     cfg, variables, rollout, lf_traj = _build(use_pallas=False)
     _log("timing device rollout (compile + timed runs)...")
 
-    value = _time_rollout(rollout, variables, lf_traj, ROLLOUT_STEPS)
+    # On CPU (no accelerator) the 100-step x 6-run protocol would take
+    # hours and trip the watchdog; the metric is a steady-state rate, so
+    # a short run measures the same quantity.
+    if on_tpu:
+        value = _time_rollout(rollout, variables, lf_traj, ROLLOUT_STEPS)
+    else:
+        value = _time_rollout(rollout, variables, lf_traj, CPU_STEPS, repeats=1)
     _log(f"device rate: {value:.2f} steps/s; timing CPU denominator...")
 
     # CPU denominator: identical model/ensemble on the host CPU (XLA
@@ -146,7 +186,8 @@ def main() -> None:
             {
                 "metric": "rollout_steps_per_sec_chip_bstep64",
                 "value": round(value, 3),
-                "unit": "steps/s (100-step, 64-sample ensemble, backward-step)",
+                "unit": "steps/s (100-step, 64-sample ensemble, backward-step)"
+                + (" [CPU FALLBACK: accelerator unreachable]" if fallback else ""),
                 "vs_baseline": round(value / cpu_rate, 2),
             }
         )

@@ -38,6 +38,10 @@ def test_bench_prints_one_json_line(monkeypatch, capsys):
     monkeypatch.setattr(
         bench, "_time_rollout", lambda *a, **k: 123.456
     )
+    # The real probe would attach a client to this machine's registered
+    # accelerator plugin (slow; hangs when the tunnel is wedged) — the
+    # probe's own behavior is covered by the fallback test below.
+    monkeypatch.setattr(bench, "_accelerator_reachable", lambda: True)
     monkeypatch.setattr(bench.jax, "default_backend", lambda: "cpu")
     monkeypatch.setattr(sys, "argv", ["bench.py", "--quiet"])
 
@@ -50,6 +54,34 @@ def test_bench_prints_one_json_line(monkeypatch, capsys):
     assert rec["metric"] == "rollout_steps_per_sec_chip_bstep64"
     assert rec["value"] == 123.456
     assert rec["vs_baseline"] == 1.0  # cpu backend: denominator = value
+
+
+def test_bench_cpu_fallback_still_emits_json(monkeypatch, capsys):
+    """With the accelerator unreachable (wedged tunnel), bench must
+    still print its one JSON line — CPU-measured, honestly labelled —
+    rather than hanging into the watchdog with no output."""
+    bench = _load("bench")
+
+    monkeypatch.setattr(
+        bench, "_build", lambda use_pallas: ("cfg", "vars", "rollout", "traj")
+    )
+    monkeypatch.setattr(bench, "_time_rollout", lambda *a, **k: 0.25)
+    monkeypatch.setattr(bench, "_accelerator_reachable", lambda: False)
+    monkeypatch.setattr(bench.jax, "default_backend", lambda: "cpu")
+    monkeypatch.setattr(
+        bench.jax.config, "update", lambda *a, **k: None
+    )  # platform already forced to cpu by conftest
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--quiet"])
+    monkeypatch.delenv("TPUFLOW_PLATFORM", raising=False)
+
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    json_lines = [l for l in out if not l.startswith("#")]
+    assert len(json_lines) == 1, out
+    rec = json.loads(json_lines[0])
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert "[CPU FALLBACK" in rec["unit"]
+    assert rec["vs_baseline"] == 1.0
 
 
 def test_graft_entry_forward_step_jits():
