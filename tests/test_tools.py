@@ -713,3 +713,36 @@ def test_doctor_aggregation(monkeypatch, capsys):
     monkeypatch.setattr(doc, "_sub", all_fail)
     assert doc.main([]) == 1
     assert "NOT healthy" in capsys.readouterr().out
+
+
+def test_sweep_members(tmp_path):
+    """Throughput-vs-ensemble-width study runs on random init + synthetic
+    LF input (no checkpoint/dataset), one JSON row per width, and writes
+    members_sweep.json under the eval output dir."""
+    import json
+
+    from tpuflow.tools.sweep_members import main as sweep_main
+
+    rows = sweep_main(
+        [
+            "backward-step",
+            "members=1,2", "steps=3", "repeats=1",
+            "model.n_scales=2", "model.n_flow_steps=2", "model.coupling_width=8",
+            "model.coupling_layers=2", "model.growth_rate=4",
+            "model.encoder_width=8", "model.lstm_hidden=8",
+            "model.cond_channels=8",
+            "model.hf_shape=16,32", "model.lf_shape=4,8",
+            "model.use_pallas=false",
+            f"eval.output_dir={tmp_path}/eval",
+        ]
+    )
+    assert [r["members"] for r in rows] == [1, 2]
+    for r in rows:
+        assert r["steps_per_sec"] > 0
+        assert r["member_steps_per_sec"] == pytest.approx(
+            r["steps_per_sec"] * r["members"], rel=0.01
+        )
+    saved = json.loads(
+        (tmp_path / "eval" / "backward-step" / "members_sweep.json").read_text()
+    )
+    assert saved == rows
