@@ -230,6 +230,79 @@ def test_export_rollout_roundtrip(tmp_path):
     cold = fn.call(lf, np.uint32(7), np.float32(0.0))
     assert float(np.asarray(cold["var"]).max()) < 1e-8
 
+    # ---- serving tier (tools/serve.py) on the same artifact ----
+    import io
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from tpuflow.tools.serve import (
+        RolloutServer, build_parser, make_http_server, run_batch,
+    )
+
+    # Sidecar written by the exporter; RolloutServer normalizes
+    # physical-unit requests with its constants, so serving a
+    # denormalized LF reproduces fn.call on the normalized one.
+    assert out.with_suffix(".meta.json").exists()
+    server = RolloutServer(out)
+    lf_phys = ds.denorm_lf(lf)
+    served2 = server.rollout(lf_phys, seed=7)
+    np.testing.assert_allclose(
+        served2["mean"], np.asarray(served["mean"]), rtol=1e-4, atol=1e-5
+    )
+    with np.testing.assert_raises(ValueError):
+        server.rollout(lf_phys[:3], seed=7)  # fixed-shape contract
+
+    # Batch mode: physical npz in -> physical mean/var npz out.
+    inp = tmp_path / "lf.npz"
+    np.savez(inp, lf=lf_phys)
+    args = build_parser().parse_args([
+        "batch", "--artifact", str(out), "--input", str(inp),
+        "--output", str(tmp_path / "stats.npz"), "--seed", "7",
+    ])
+    run_batch(args)
+    with np.load(tmp_path / "stats.npz") as got:
+        np.testing.assert_allclose(
+            got["mean"], np.asarray(served["mean"]), rtol=1e-4, atol=1e-5
+        )
+
+    # HTTP mode: POST npz body, parse npz response; healthz serves meta.
+    httpd = make_http_server(server, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        health = json.loads(
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30
+            ).read()
+        )
+        assert health["n_samples"] == 4 and health["rollout_steps"] == 6
+        buf = io.BytesIO()
+        np.savez(buf, lf=lf_phys)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/rollout?seed=7",
+            data=buf.getvalue(), method="POST",
+        )
+        resp = urllib.request.urlopen(req, timeout=120).read()
+        with np.load(io.BytesIO(resp)) as got:
+            np.testing.assert_allclose(
+                got["mean"], np.asarray(served["mean"]),
+                rtol=1e-4, atol=1e-5,
+            )
+        # Malformed request -> 400, server keeps serving.
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/rollout", data=b"junk", method="POST"
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
+
 
 # ---------------------------------------------------------------- supervisor
 

@@ -29,10 +29,12 @@ Usage: python -m tpuflow.tools.export_rollout <case> [key=value ...]
 
 from __future__ import annotations
 
+import json
 import pathlib
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import export as jax_export
 
 from tpuflow.cli import parse_args
@@ -120,9 +122,31 @@ def main(argv=None) -> pathlib.Path:
     out.parent.mkdir(parents=True, exist_ok=True)
     data = exp.serialize()
     out.write_bytes(data)
+    # Sidecar metadata: everything a serving process that has ONLY the
+    # artifact needs — the input contract (the artifact consumes a
+    # NORMALIZED LF trajectory) plus the LF normalization constants to
+    # map physical-unit requests into it (tools/serve.py consumes this).
+    meta = {
+        "case": cfg.name,
+        "rollout_steps": cfg.eval.rollout_steps,
+        "n_samples": cfg.eval.n_samples,
+        "default_temperature": cfg.eval.temperature,
+        "lf_input_shape": [
+            cfg.eval.rollout_steps,
+            *cfg.model.lf_shape,
+            cfg.model.channels,
+        ],
+        "platforms": list(platforms),
+        "lf_mean": np.asarray(ds.norm.lf_mean, dtype=np.float64).tolist(),
+        "lf_std": np.asarray(ds.norm.lf_std, dtype=np.float64).tolist(),
+        "outputs": "physical-unit ensemble mean/var per step",
+    }
+    meta_path = out.with_suffix(".meta.json")
+    meta_path.write_text(json.dumps(meta, indent=2) + "\n")
     print(
         f"exported {cfg.eval.rollout_steps}-step {cfg.eval.n_samples}-member "
-        f"rollout for {platforms} -> {out} ({len(data) / 1e6:.1f} MB)"
+        f"rollout for {platforms} -> {out} ({len(data) / 1e6:.1f} MB; "
+        f"sidecar {meta_path.name})"
     )
     return out
 
