@@ -9,6 +9,7 @@ import numpy as np
 from tpuflow.configs.config import ModelConfig
 from tpuflow.data import generate_case
 from tpuflow.eval import (
+    divergence,
     ensemble_stats,
     make_ensemble_rollout,
     make_nll_eval,
@@ -157,6 +158,33 @@ def test_vorticity_anisotropic_spacing():
     np.testing.assert_allclose(
         np.asarray(vorticity(rotation)), dx + dy, atol=1e-4, rtol=0
     )
+
+
+def test_divergence_analytic_fields():
+    """du/dx + dv/dy on closed-form flows: solid-body rotation (u=-y,
+    v=x) is solenoidal (div=0); a uniform expansion (u=x, v=y) has
+    div=2; anisotropic spacings weight the terms like vorticity's."""
+    h, w = 12, 24
+    dx, dy = 4.0 / w, 1.0 / h
+    ys = np.arange(h, dtype=np.float32)[:, None] * dy * np.ones((1, w), np.float32)
+    xs = np.ones((h, 1), np.float32) * np.arange(w, dtype=np.float32)[None, :] * dx
+    p = np.zeros((h, w), np.float32)
+    rotation = jnp.asarray(np.stack([-ys, xs, p], axis=-1))
+    expansion = jnp.asarray(np.stack([xs, ys, p], axis=-1))
+    np.testing.assert_allclose(
+        np.asarray(divergence(rotation, dx=dx, dy=dy)), 0.0, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(divergence(expansion, dx=dx, dy=dy)), 2.0, atol=1e-4
+    )
+    # Unit spacing on the same samples mis-weights the terms: dx + dy.
+    np.testing.assert_allclose(
+        np.asarray(divergence(expansion)), dx + dy, atol=1e-4, rtol=0
+    )
+    batched = np.asarray(divergence(jnp.asarray(
+        np.stack([np.asarray(rotation), np.asarray(expansion)], axis=0)
+    ), dx=dx, dy=dy))
+    assert batched.shape == (2, h, w)
 
 
 def test_long_horizon_rollout_stats_mode():

@@ -48,6 +48,7 @@ from tpuflow.eval.stats import (
     tke_field,
     total_variance,
     velocity_moments,
+    divergence,
     vorticity,
 )
 
@@ -100,6 +101,7 @@ def main(argv=None) -> dict:
     # holds normalized fields; per-channel sigma differs, so normalized
     # TKE would reweight u/v fluctuations — stats.py contract).
     tke_errs, mean_errs, var_mean, vort_errs = [], [], [], []
+    div_rms_pred, div_rms_ref = [], []
     tke_pred_sum = tke_ref_sum = None
     vort_fig = None
     for i in range(ds.n_traj):
@@ -121,6 +123,16 @@ def main(argv=None) -> dict:
         vort_pred = vorticity(mean, dx=dx, dy=dy)
         vort_ref = vorticity(hf, dx=dx, dy=dy)
         vort_errs.append(float(relative_l2(vort_pred, vort_ref)))
+        # Incompressibility diagnostic: RMS divergence of the predicted
+        # mean vs the HF reference's own RMS on the same grid/stencil
+        # (neither is exactly solenoidal after grid interpolation — the
+        # honest scalar is the ratio, ~1 = as divergence-free as data).
+        div_rms_pred.append(
+            float(jnp.sqrt(jnp.mean(divergence(mean, dx=dx, dy=dy) ** 2)))
+        )
+        div_rms_ref.append(
+            float(jnp.sqrt(jnp.mean(divergence(hf, dx=dx, dy=dy) ** 2)))
+        )
         if i == 0:
             vort_fig = (np.asarray(vort_pred[T - 1]), np.asarray(vort_ref[T - 1]))
         tke_pred_sum = tke_pred if tke_pred_sum is None else tke_pred_sum + tke_pred
@@ -318,6 +330,11 @@ def main(argv=None) -> dict:
         "tke_rel_l2_mean": float(np.mean(tke_errs)),
         "field_rel_l2_mean": float(np.mean(mean_errs)),
         "vorticity_rel_l2_mean": float(np.mean(vort_errs)),
+        "divergence_rms_pred": float(np.mean(div_rms_pred)),
+        "divergence_rms_ref": float(np.mean(div_rms_ref)),
+        "divergence_rms_ratio": float(
+            np.mean(div_rms_pred) / (np.mean(div_rms_ref) + 1e-12)
+        ),
         "ensemble_var_mean": float(np.mean(var_mean)),
         "n_test_traj": ds.n_traj,
         "steps": T,

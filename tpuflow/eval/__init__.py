@@ -28,6 +28,7 @@ from tpuflow.eval.stats import (
     gaussian_crps,
     ensemble_coverage,
     gaussian_coverage,
+    divergence,
     vorticity,
 )
 
@@ -53,5 +54,6 @@ __all__ = [
     "gaussian_crps",
     "ensemble_coverage",
     "gaussian_coverage",
+    "divergence",
     "vorticity",
 ]

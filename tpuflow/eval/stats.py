@@ -113,6 +113,34 @@ def vorticity(
     return dv_dx - du_dy
 
 
+def divergence(
+    fields: jnp.ndarray, dx: float = 1.0, dy: float = 1.0
+) -> jnp.ndarray:
+    """Planar divergence du/dx + dv/dy of 2D velocity fields.
+
+    Incompressibility diagnostic: the governing flows are
+    divergence-free (arXiv:2006.04731 §2 solves incompressible
+    Navier-Stokes), but neither the generative samples nor the
+    grid-interpolated HF reference satisfy it exactly — so the useful
+    scalar is the RMS divergence of the prediction RELATIVE to the HF
+    reference's own RMS on the same grid/stencil (ratio ~1 = the model
+    is as solenoidal as the data it learned from). Central differences
+    on the uniform training grid; pass physical spacings as in
+    ``vorticity``.
+
+    Args:
+      fields: (..., H, W, C>=2) velocity fields; axis -3 is y (rows),
+        axis -2 is x (columns), channels (u, v[, ...]).
+      dx, dy: physical grid spacing along x (columns) and y (rows).
+
+    Returns:
+      (..., H, W) divergence.
+    """
+    du_dx = jnp.gradient(fields[..., 0], axis=-1) / dx
+    dv_dy = jnp.gradient(fields[..., 1], axis=-2) / dy
+    return du_dx + dv_dy
+
+
 def relative_l2(pred: jnp.ndarray, ref: jnp.ndarray, axes=None) -> jnp.ndarray:
     """||pred - ref||_2 / ||ref||_2 over ``axes`` (default: all)."""
     if axes is None:

@@ -95,6 +95,7 @@ def build_report(out_dir: pathlib.Path, case: str) -> str:
         ("field rel-L2 (ensemble mean vs HF)", "field_rel_l2_mean"),
         ("TKE rel-L2", "tke_rel_l2_mean"),
         ("vorticity rel-L2", "vorticity_rel_l2_mean"),
+        ("divergence RMS ratio (pred/HF)", "divergence_rms_ratio"),
         ("energy-spectrum log rel-L2", "spectrum_rel_l2"),
         ("ensemble CRPS", "crps_mean"),
         ("skewness MAE", "skew_mae"),
