@@ -77,4 +77,19 @@ print("== 5. Consolidated report (tools/report.py)")
 from tpuflow.tools.report import main as report_main
 
 path = report_main(small)
-print(f"   one-page markdown summary of the run: {path}; done.")
+print(f"   one-page markdown summary of the run: {path}")
+
+print("== 6. Export + serve (StableHLO artifact, no model code needed)")
+import numpy as np
+
+from tpuflow.tools.export_rollout import main as export_main
+from tpuflow.tools.serve import RolloutServer
+
+artifact = export_main(small + ["export_platforms=cpu"])
+server = RolloutServer(artifact)  # artifact + sidecar only
+lf_shape = tuple(server.meta["lf_input_shape"])
+stats = server.rollout(  # physical-unit request, normalized server-side
+    np.zeros(lf_shape, np.float32), seed=0
+)
+print(f"   served ensemble mean {stats['mean'].shape} from {artifact.name} "
+      "(tpuflow-serve http serves the same pair over HTTP); done.")

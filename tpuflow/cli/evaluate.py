@@ -336,6 +336,13 @@ def main(argv=None) -> dict:
             np.mean(div_rms_pred) / (np.mean(div_rms_ref) + 1e-12)
         ),
         "ensemble_var_mean": float(np.mean(var_mean)),
+        # Per-trajectory breakouts: test trajectories differ in flow
+        # parameters (Reynolds-number spread in the paper's datasets,
+        # procedural parameters in the synthetic fixture), so the
+        # spread across them is the generalization signal the means
+        # above average away.
+        "field_rel_l2_per_traj": [float(e) for e in mean_errs],
+        "tke_rel_l2_per_traj": [float(e) for e in tke_errs],
         "n_test_traj": ds.n_traj,
         "steps": T,
         "n_samples": cfg.eval.n_samples,
