@@ -80,12 +80,17 @@ path = report_main(small)
 print(f"   one-page markdown summary of the run: {path}")
 
 print("== 6. Export + serve (StableHLO artifact, no model code needed)")
+import jax
 import numpy as np
 
 from tpuflow.tools.export_rollout import main as export_main
 from tpuflow.tools.serve import RolloutServer
 
-artifact = export_main(small + ["export_platforms=cpu"])
+# Lower for the backend this process will call it on (plus CPU, so the
+# same file also serves off-chip) — a cpu-only artifact cannot execute
+# on a TPU-default host and vice versa.
+plats = "cpu" if jax.default_backend() == "cpu" else "tpu,cpu"
+artifact = export_main(small + [f"export_platforms={plats}"])
 server = RolloutServer(artifact)  # artifact + sidecar only
 lf_shape = tuple(server.meta["lf_input_shape"])
 stats = server.rollout(  # physical-unit request, normalized server-side

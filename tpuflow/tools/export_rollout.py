@@ -42,6 +42,10 @@ from tpuflow.data.dataset import load_dataset
 from tpuflow.eval.loading import load_eval_bundle
 from tpuflow.eval.rollout import make_ensemble_rollout
 
+# Re-exported for back-compat; the implementation lives in the leaf
+# module tools/artifact.py so serving hosts import no model code.
+from tpuflow.tools.artifact import load_artifact  # noqa: F401
+
 
 def build_exported(cfg, model, variables, ds, platforms=("tpu", "cpu")):
     """Lower the stats-mode ensemble rollout to a jax.export Exported.
@@ -82,18 +86,6 @@ def build_exported(cfg, model, variables, ds, platforms=("tpu", "cpu")):
     )
 
 
-def load_artifact(path):
-    """Deserialize a rollout artifact, ready to ``.call(lf, seed, tau)``.
-
-    Performs the LAPACK registration warmup first: jaxlib only
-    registers the CPU custom-call targets (the LU solves baked into
-    the flow's 1x1 inverses) when a linalg op is lowered in-process;
-    executing a deserialized artifact without that registration
-    segfaults (measured on jaxlib in this image — minimal repro:
-    export jnp.linalg.solve, deserialize in a fresh process, call).
-    """
-    jax.jit(jnp.linalg.inv).lower(jnp.eye(2)).compile()
-    return jax_export.deserialize(pathlib.Path(path).read_bytes())
 
 
 def main(argv=None) -> pathlib.Path:

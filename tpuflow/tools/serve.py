@@ -47,7 +47,9 @@ class RolloutServer:
     """A loaded artifact + sidecar, exposing physical-unit rollout."""
 
     def __init__(self, artifact_path: str | pathlib.Path, meta_path=None):
-        from tpuflow.tools.export_rollout import load_artifact
+        # Leaf import: the serving host needs jax + numpy only, not the
+        # model/data/training stack (tools/artifact.py docstring).
+        from tpuflow.tools.artifact import load_artifact
 
         artifact_path = pathlib.Path(artifact_path)
         self.fn = load_artifact(artifact_path)
@@ -83,18 +85,19 @@ class RolloutServer:
             if temperature is None
             else float(temperature)
         )
+        # Wrap, don't reject: np.uint32(-1) raises OverflowError on
+        # NumPy 2.x, long after the model loaded; any int is a seed.
+        seed = int(seed) % (1 << 32)
         with self._lock:
             out = self.fn.call(lf, np.uint32(seed), np.float32(tau))
         return {k: np.asarray(v) for k, v in out.items()}
 
 
-def _read_lf(data: bytes, name_hint: str = "") -> np.ndarray:
-    """Decode an .npz (array "lf" or the single array) or .npy payload."""
-    buf = io.BytesIO(data)
-    if name_hint.endswith(".npy"):
-        return np.load(buf)
-    loaded = np.load(buf, allow_pickle=False)
-    if isinstance(loaded, np.ndarray):  # .npy content without the hint
+def _read_lf(data: bytes) -> np.ndarray:
+    """Decode an .npz (array "lf" or the single array) or .npy payload
+    (np.load detects which from the magic bytes)."""
+    loaded = np.load(io.BytesIO(data), allow_pickle=False)
+    if isinstance(loaded, np.ndarray):  # .npy content
         return loaded
     with loaded:
         if "lf" in loaded.files:
@@ -114,7 +117,7 @@ def _pack_npz(arrays: dict) -> bytes:
 
 def run_batch(args) -> pathlib.Path:
     server = RolloutServer(args.artifact, args.meta)
-    lf = _read_lf(pathlib.Path(args.input).read_bytes(), args.input)
+    lf = _read_lf(pathlib.Path(args.input).read_bytes())
     out = server.rollout(
         lf, seed=args.seed, temperature=args.temperature,
         normalized=args.normalized,
@@ -163,6 +166,10 @@ def make_http_server(server: RolloutServer, host: str, port: int):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 lf = _read_lf(self.rfile.read(n))
+            except Exception as e:  # undecodable payload = client error
+                self._send(400, str(e).encode(), "text/plain")
+                return
+            try:
                 out = server.rollout(
                     lf,
                     seed=int(q.get("seed", ["0"])[0]),
@@ -173,8 +180,11 @@ def make_http_server(server: RolloutServer, host: str, port: int):
                     normalized=q.get("normalized", ["0"])[0]
                     in ("1", "true"),
                 )
-            except Exception as e:  # client-visible failure, keep serving
+            except ValueError as e:  # contract violation = client error
                 self._send(400, str(e).encode(), "text/plain")
+                return
+            except Exception as e:  # runtime fault = server error; keep serving
+                self._send(500, str(e).encode(), "text/plain")
                 return
             self._send(200, _pack_npz(out), "application/octet-stream")
 
@@ -219,11 +229,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
-    # Honour TPUFLOW_PLATFORM before any jax import (a serving host may
-    # want CPU even where a TPU plugin is force-registered).
-    from tpuflow.cli import _apply_platform_env
+    # Honour TPUFLOW_PLATFORM=cpu|tpu before the first jax use (a
+    # serving host may want CPU even where a TPU plugin is
+    # force-registered; the JAX_PLATFORMS env var alone cannot
+    # override such a plugin, jax.config.update can). Inlined from
+    # tpuflow.cli so the serving host imports no CLI/config machinery.
+    import os
 
-    _apply_platform_env()
+    plat = os.environ.get("TPUFLOW_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     args = build_parser().parse_args(argv)
     if args.mode == "batch":
         run_batch(args)
