@@ -303,6 +303,32 @@ def test_export_rollout_roundtrip(tmp_path):
     finally:
         httpd.shutdown()
 
+    # Minimal-host contract (tools/artifact.py): standing up the server
+    # and running a rollout must not import the model/training stack.
+    import subprocess
+    import sys as _sys
+
+    probe = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import sys\n"
+        "from tpuflow.tools.serve import RolloutServer\n"
+        f"s = RolloutServer({str(out)!r})\n"
+        "import numpy as np\n"
+        "s.rollout(np.zeros(tuple(s.meta['lf_input_shape']), np.float32))\n"
+        "heavy = [m for m in ('flax','orbax','optax','tpuflow.models',"
+        "'tpuflow.eval','tpuflow.data','tpuflow.cli') if m in sys.modules]\n"
+        "print('HEAVY:' + ','.join(heavy))\n"
+        "import os; os._exit(0)\n"  # axon-plugin teardown segfaults
+    )
+    res = subprocess.run(
+        [_sys.executable, "-c", probe], capture_output=True, text=True,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "HEAVY:\n" in res.stdout or res.stdout.strip().endswith("HEAVY:"), (
+        res.stdout
+    )
+
 
 # ---------------------------------------------------------------- supervisor
 
