@@ -303,6 +303,27 @@ def test_export_rollout_roundtrip(tmp_path):
     finally:
         httpd.shutdown()
 
+    # Calibration deployment: before evaluation no factor exists ->
+    # loud client error; after (a minimal eval_metrics.json) the
+    # re-exported sidecar carries it and calibrated var = s^2 * raw.
+    with np.testing.assert_raises(ValueError):
+        server.rollout(lf_phys, seed=7, calibrated=True)
+    metrics_path = (
+        tmp_path / "eval" / "backward-step" / "eval_metrics.json"
+    )
+    metrics_path.parent.mkdir(parents=True, exist_ok=True)
+    metrics_path.write_text(json.dumps({
+        "spread_scale": 2.0, "interval_scales": {"0.50": 1.5, "0.95": 2.5},
+    }))
+    out2 = export_main(overrides + ["export_platforms=cpu"])
+    server2 = RolloutServer(out2)
+    assert server2.meta["spread_scale"] == 2.0
+    assert server2.meta["interval_scales"]["0.95"] == 2.5
+    raw = server2.rollout(lf_phys, seed=7)
+    cal = server2.rollout(lf_phys, seed=7, calibrated=True)
+    np.testing.assert_allclose(cal["mean"], raw["mean"], atol=0)
+    np.testing.assert_allclose(cal["var"], 4.0 * raw["var"], rtol=1e-6)
+
     # Minimal-host contract (tools/artifact.py): standing up the server
     # and running a rollout must not import the model/training stack.
     import subprocess

@@ -133,6 +133,22 @@ def main(argv=None) -> pathlib.Path:
         "lf_std": np.asarray(ds.norm.lf_std, dtype=np.float64).tolist(),
         "outputs": "physical-unit ensemble mean/var per step",
     }
+    # Deploy the fitted UQ recalibration with the artifact: if this
+    # case has been evaluated, carry the fitted factors (eval/calibrate
+    # — mean-preserving spread inflation + per-level interval factors)
+    # so the serving side can return calibrated variances/intervals
+    # without rerunning evaluation (serve.py `calibrated`).
+    metrics_path = (
+        pathlib.Path(cfg.eval.output_dir) / cfg.name / "eval_metrics.json"
+    )
+    if metrics_path.exists():
+        m = json.loads(metrics_path.read_text())
+        if "spread_scale" in m:
+            meta["spread_scale"] = float(m["spread_scale"])
+        if "interval_scales" in m:
+            meta["interval_scales"] = {
+                k: float(v) for k, v in m["interval_scales"].items()
+            }
     meta_path = out.with_suffix(".meta.json")
     meta_path.write_text(json.dumps(meta, indent=2) + "\n")
     print(

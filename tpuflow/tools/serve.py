@@ -22,10 +22,16 @@ Two modes:
   http   — stdlib ThreadingHTTPServer:
       python -m tpuflow.tools.serve http --artifact rollout.jaxexport \\
           [--host 127.0.0.1] [--port 8421]
-      POST /rollout?seed=0&temperature=0.7[&normalized=1] with an .npz
-      body → .npz response ("mean", "var"). GET /healthz → sidecar
-      metadata JSON. Calls are serialized through a lock: one
+      POST /rollout?seed=0&temperature=0.7[&normalized=1][&calibrated=1]
+      with an .npz body → .npz response ("mean", "var"). GET /healthz →
+      sidecar metadata JSON. Calls are serialized through a lock: one
       accelerator, one compiled program, deterministic latency.
+
+If the case was evaluated before export, the sidecar carries the
+fitted UQ recalibration (eval/calibrate) and `--calibrated` /
+`?calibrated=1` returns spread-inflated variances (var × s²); the
+per-level `interval_scales` ride along in /healthz for clients building
+central intervals from the two-moment outputs.
 
 Device placement follows the process' JAX default (the artifact is
 lowered for both TPU and CPU by default, so the same file serves
@@ -69,8 +75,18 @@ class RolloutServer:
         self._lf_std = np.asarray(self.meta["lf_std"], dtype=np.float32)
         self._lock = threading.Lock()
 
-    def rollout(self, lf, seed=0, temperature=None, normalized=False):
-        """Physical-unit LF trajectory -> {"mean", "var"} numpy dict."""
+    def rollout(
+        self, lf, seed=0, temperature=None, normalized=False,
+        calibrated=False,
+    ):
+        """Physical-unit LF trajectory -> {"mean", "var"} numpy dict.
+
+        ``calibrated=True`` additionally applies the fitted UQ
+        recalibration carried in the sidecar (mean-preserving spread
+        inflation, var * spread_scale^2 — eval/calibrate semantics);
+        raises ValueError if the artifact was exported before the case
+        was evaluated (no fitted factor to apply).
+        """
         lf = np.asarray(lf, dtype=np.float32)
         want = tuple(self.meta["lf_input_shape"])
         if lf.shape != want:
@@ -88,9 +104,19 @@ class RolloutServer:
         # Wrap, don't reject: np.uint32(-1) raises OverflowError on
         # NumPy 2.x, long after the model loaded; any int is a seed.
         seed = int(seed) % (1 << 32)
+        if calibrated and "spread_scale" not in self.meta:
+            raise ValueError(
+                "calibrated rollout requested but the sidecar carries no "
+                "spread_scale — evaluate the case, then re-export (the "
+                "exporter picks the fitted factors up from "
+                "eval_metrics.json)"
+            )
         with self._lock:
             out = self.fn.call(lf, np.uint32(seed), np.float32(tau))
-        return {k: np.asarray(v) for k, v in out.items()}
+        out = {k: np.asarray(v) for k, v in out.items()}
+        if calibrated:
+            out["var"] = out["var"] * np.float32(self.meta["spread_scale"]) ** 2
+        return out
 
 
 def _read_lf(data: bytes) -> np.ndarray:
@@ -120,7 +146,7 @@ def run_batch(args) -> pathlib.Path:
     lf = _read_lf(pathlib.Path(args.input).read_bytes())
     out = server.rollout(
         lf, seed=args.seed, temperature=args.temperature,
-        normalized=args.normalized,
+        normalized=args.normalized, calibrated=args.calibrated,
     )
     out_path = pathlib.Path(args.output)
     out_path.parent.mkdir(parents=True, exist_ok=True)
@@ -179,6 +205,8 @@ def make_http_server(server: RolloutServer, host: str, port: int):
                     ),
                     normalized=q.get("normalized", ["0"])[0]
                     in ("1", "true"),
+                    calibrated=q.get("calibrated", ["0"])[0]
+                    in ("1", "true"),
                 )
             except ValueError as e:  # contract violation = client error
                 self._send(400, str(e).encode(), "text/plain")
@@ -219,6 +247,11 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument(
         "--normalized", action="store_true",
         help="input is already normalized (skip the sidecar constants)",
+    )
+    b.add_argument(
+        "--calibrated", action="store_true",
+        help="apply the sidecar's fitted UQ recalibration "
+        "(var x spread_scale^2)",
     )
 
     h = sub.add_parser("http", help="HTTP rollout endpoint")
