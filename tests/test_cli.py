@@ -136,3 +136,21 @@ def test_cli_cylinder_case(tmp_path):
     train_main(args)
     metrics = rollout_main(args)
     assert metrics["n_samples"] == 4
+
+
+def test_console_scripts_resolve():
+    """Every [project.scripts] target in pyproject.toml imports to a
+    callable, and entries returning non-int objects are wrapped (a
+    console script's return value becomes the exit code: a truthy
+    Path/dict return would make a SUCCESSFUL run exit nonzero)."""
+    import importlib
+    import pathlib
+    import re
+
+    spec = pathlib.Path(__file__).parents[1] / "pyproject.toml"
+    block = spec.read_text().split("[project.scripts]")[1].split("[tool")[0]
+    entries = re.findall(r'^([\w-]+) = "([\w.:]+)"$', block, re.M)
+    assert len(entries) >= 15, entries
+    for name, target in entries:
+        mod, fn = target.split(":")
+        assert callable(getattr(importlib.import_module(mod), fn)), name

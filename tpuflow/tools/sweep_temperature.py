@@ -123,3 +123,10 @@ def main(argv=None) -> list[dict]:
 
 if __name__ == "__main__":
     main()
+
+
+def cli() -> int:
+    """Console-script entry (pyproject [project.scripts]): discard
+    main()'s return value so the process exit code is 0, not truthy."""
+    main()
+    return 0
