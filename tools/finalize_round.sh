@@ -22,8 +22,10 @@ for case in backward-step cylinder-array; do
   timeout 1200 python -m tpuflow.tools.report "$case" || status=1
 done
 
-echo "[finalize] re-export serving artifact (backward-step)"
-timeout 1800 python -m tpuflow.tools.export_rollout backward-step || status=1
+for case in backward-step cylinder-array; do
+  echo "[finalize] re-export serving artifact ($case)"
+  timeout 1800 python -m tpuflow.tools.export_rollout "$case" || status=1
+done
 
 echo "[finalize] north-star bench"
 timeout 1800 python bench.py >"$OUT/bench.json" 2>"$OUT/bench.log" || status=1
