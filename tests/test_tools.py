@@ -300,6 +300,30 @@ def test_export_rollout_roundtrip(tmp_path):
             assert False, "expected HTTP 400"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+        # examples/serve_client.py (the documented consumer recipe —
+        # numpy + stdlib only) reproduces the same rollout through the
+        # same endpoint; with no --lf it synthesizes a contract-shaped
+        # trajectory and must round-trip cleanly too.
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "serve_client",
+            pathlib.Path(__file__).parent.parent / "examples/serve_client.py",
+        )
+        client = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(client)
+        url = f"http://127.0.0.1:{port}"
+        got = client.main([
+            "--url", url, "--lf", str(inp), "--seed", "7",
+            "--out", str(tmp_path / "client.npz"),
+        ])
+        np.testing.assert_allclose(
+            got["mean"], np.asarray(served["mean"]), rtol=1e-4, atol=1e-5
+        )
+        synth = client.main(["--url", url, "--seed", "3"])
+        assert synth["mean"].shape == np.asarray(served["mean"]).shape
+        assert np.all(np.isfinite(synth["mean"]))
     finally:
         httpd.shutdown()
 
