@@ -66,6 +66,23 @@ def synthetic_lf(meta: dict, seed: int) -> np.ndarray:
     return (z * std * np.sqrt(2.0) + mean).astype(np.float32)
 
 
+def load_lf(path: str) -> np.ndarray:
+    """Same leniency as the server's payload decoder: .npy, or .npz
+    with array "lf" or a single array under any name."""
+    loaded = np.load(path, allow_pickle=False)
+    if isinstance(loaded, np.ndarray):
+        return loaded
+    with loaded:
+        if "lf" in loaded.files:
+            return loaded["lf"]
+        if len(loaded.files) == 1:
+            return loaded[loaded.files[0]]
+        raise SystemExit(
+            f"ambiguous npz {path} with arrays {loaded.files}: "
+            "name the trajectory 'lf'"
+        )
+
+
 def post_rollout(
     url: str, lf: np.ndarray, seed: int, calibrated: bool,
     temperature: float | None,
@@ -102,6 +119,7 @@ def main(argv=None) -> dict:
                    help="apply the fitted UQ recalibration riding the sidecar")
     p.add_argument("--out", default=None, help="save mean/var to this .npz")
     args = p.parse_args(argv)
+    args.url = args.url.rstrip("/")  # the server matches paths exactly
 
     meta = fetch_contract(args.url)
     print(f"endpoint serves case={meta['case']}: "
@@ -113,8 +131,7 @@ def main(argv=None) -> dict:
                          "(case not evaluated before export)")
 
     if args.lf:
-        loaded = np.load(args.lf, allow_pickle=False)
-        lf = loaded if isinstance(loaded, np.ndarray) else loaded["lf"]
+        lf = load_lf(args.lf)
     else:
         lf = synthetic_lf(meta, args.seed)
     out = post_rollout(args.url, lf, args.seed, args.calibrated,

@@ -4,6 +4,7 @@ rollout -> evaluate end-to-end (BASELINE configs #1-#4 in miniature;
 SURVEY.md §4 integration tier)."""
 
 import json
+import pathlib
 
 import numpy as np
 import pytest
@@ -128,6 +129,63 @@ def test_cli_train_rollout_evaluate_pipeline(tmp_path):
     assert rows[1]["ensemble_std"] > rows[0]["ensemble_std"]
     assert (out_dir / "temperature_sweep.png").exists()
 
+    # examples/quickstart.py contract: the walkthrough runs these same
+    # mains, so what can silently rot is the metric keys it subscripts.
+    # Extract them from its source and check against the real outputs.
+    import re as _re
+
+    src = (
+        pathlib.Path(__file__).parents[1] / "examples/quickstart.py"
+    ).read_text()
+    for var, produced in [
+        ("train", final), ("roll", metrics), ("ev", emetrics),
+    ]:
+        used = set(_re.findall(rf"\b{var}\['(\w+)'\]", src))
+        assert used, f"quickstart no longer reads {var}[...]?"
+        missing = used - set(produced)
+        assert not missing, f"quickstart reads absent {var} keys {missing}"
+    coverage_keys = set(_re.findall(r'"(coverage_holdout_\w+)"', src))
+    assert coverage_keys <= set(emetrics), coverage_keys - set(emetrics)
+
+
+def test_quickstart_overrides_match_schema():
+    """Every dotted `key=value` override in examples/quickstart.py must
+    exist in the config schema — a renamed field would break the
+    documented first-touch walkthrough at step 1."""
+    import ast
+    import dataclasses
+
+    from tpuflow.configs.config import CaseConfig
+
+    src = (
+        pathlib.Path(__file__).parents[1] / "examples/quickstart.py"
+    ).read_text()
+    keys = set()
+    for node in ast.walk(ast.parse(src)):
+        text = None
+        if isinstance(node, ast.Constant) and isinstance(node.value, str):
+            text = node.value
+        elif isinstance(node, ast.JoinedStr):  # f"...={workdir}/ckpt"
+            first = node.values[0]
+            if isinstance(first, ast.Constant):
+                text = first.value
+        if text and "=" in text:
+            key = text.split("=", 1)[0]
+            if "." in key and key.replace(".", "").replace("_", "").isalnum():
+                keys.add(key)
+    assert len(keys) > 10, keys  # the miniature-size override block
+    # field.type is a string here (config.py uses `from __future__
+    # import annotations`); introspect default instances instead.
+    cfg = CaseConfig()
+    schema = {
+        f"{sect.name}.{leaf.name}"
+        for sect in dataclasses.fields(cfg)
+        if dataclasses.is_dataclass(getattr(cfg, sect.name))
+        for leaf in dataclasses.fields(getattr(cfg, sect.name))
+    }
+    unknown = keys - schema
+    assert not unknown, f"quickstart overrides unknown config keys {unknown}"
+
 
 def test_cli_cylinder_case(tmp_path):
     """Second case end-to-end (BASELINE config #2: mini-ensemble)."""
@@ -144,6 +202,7 @@ def test_console_scripts_resolve():
     console script's return value becomes the exit code: a truthy
     Path/dict return would make a SUCCESSFUL run exit nonzero)."""
     import importlib
+    import inspect
     import pathlib
     import re
 
@@ -153,4 +212,16 @@ def test_console_scripts_resolve():
     assert len(entries) >= 15, entries
     for name, target in entries:
         mod, fn = target.split(":")
-        assert callable(getattr(importlib.import_module(mod), fn)), name
+        func = getattr(importlib.import_module(mod), fn)
+        assert callable(func), name
+        # Exit-code discipline: the target must either be wrapped by
+        # tpuflow.cli.as_console_script or be annotated -> int / None
+        # (i.e. demonstrably not a data-returning main). callable()
+        # alone once let a list-returning main ship as a script that
+        # exited 1 on success.
+        wrapped = getattr(func, "__tpuflow_console_script__", False)
+        ret = inspect.signature(func).return_annotation
+        assert wrapped or ret in (int, None, "int", "None"), (
+            f"{name} -> {target} returns {ret!r}; wrap it with "
+            "tpuflow.cli.as_console_script"
+        )

@@ -363,6 +363,10 @@ def test_export_rollout_roundtrip(tmp_path):
         "heavy = [m for m in ('flax','orbax','optax','tpuflow.models',"
         "'tpuflow.eval','tpuflow.data','tpuflow.cli') if m in sys.modules]\n"
         "print('HEAVY:' + ','.join(heavy))\n"
+        # os._exit skips buffer flushes: piped stdout is block-buffered,
+        # so flush explicitly or the print is lost wherever
+        # PYTHONUNBUFFERED isn't set ambiently.
+        "sys.stdout.flush()\n"
         "import os; os._exit(0)\n"  # axon-plugin teardown segfaults
     )
     res = subprocess.run(

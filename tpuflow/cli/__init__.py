@@ -58,6 +58,26 @@ def _enable_compilation_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 
+def as_console_script(main_fn):
+    """Wrap a ``main()`` whose return value is data (metrics dict,
+    sweep rows, an output path) into a ``[project.scripts]`` target.
+
+    setuptools console scripts run ``sys.exit(target())``, so a truthy
+    return value would be printed to stderr and turn a successful run
+    into exit code 1. Every data-returning main must go through this
+    (``tests/test_cli.py::test_console_scripts_resolve`` enforces it).
+    """
+    import functools
+
+    @functools.wraps(main_fn)
+    def cli() -> int:
+        main_fn()
+        return 0
+
+    cli.__tpuflow_console_script__ = True
+    return cli
+
+
 def parse_args(argv: list[str] | None = None, prog: str = "tpuflow") -> CaseConfig:
     _apply_platform_env()
     _enable_compilation_cache()

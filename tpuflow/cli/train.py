@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import pathlib
 
-from tpuflow.cli import parse_args
+from tpuflow.cli import as_console_script, parse_args
 from tpuflow.train.trainer import Trainer
 from tpuflow.utils.logging import MetricsLogger
 
@@ -39,8 +39,4 @@ if __name__ == "__main__":
     main()
 
 
-def cli() -> int:
-    """Console-script entry (pyproject [project.scripts]): discard
-    main()'s metrics dict so the process exit code is 0, not truthy."""
-    main()
-    return 0
+cli = as_console_script(main)

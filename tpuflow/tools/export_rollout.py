@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import export as jax_export
 
-from tpuflow.cli import parse_args
+from tpuflow.cli import as_console_script, parse_args
 from tpuflow.data.dataset import load_dataset
 from tpuflow.eval.loading import load_eval_bundle
 from tpuflow.eval.rollout import make_ensemble_rollout
@@ -163,8 +163,4 @@ if __name__ == "__main__":
     main()
 
 
-def cli() -> int:
-    """Console-script entry (pyproject [project.scripts]): discard
-    main()'s return value so the process exit code is 0, not truthy."""
-    main()
-    return 0
+cli = as_console_script(main)

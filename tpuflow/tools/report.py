@@ -178,8 +178,6 @@ if __name__ == "__main__":
     main()
 
 
-def cli() -> int:
-    """Console-script entry (pyproject [project.scripts]): discard
-    main()'s return value so the process exit code is 0, not truthy."""
-    main()
-    return 0
+from tpuflow.cli import as_console_script
+
+cli = as_console_script(main)

@@ -261,7 +261,7 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv=None):
+def main(argv=None) -> None:
     # Honour TPUFLOW_PLATFORM=cpu|tpu before the first jax use (a
     # serving host may want CPU even where a TPU plugin is
     # force-registered; the JAX_PLATFORMS env var alone cannot

@@ -107,5 +107,10 @@ def main(argv=None) -> list[dict]:
     return rows
 
 
+from tpuflow.cli import as_console_script
+
+cli = as_console_script(main)
+
+
 if __name__ == "__main__":
     main()
