@@ -59,6 +59,10 @@ def test_dataset_normalization_and_windows():
     assert wins[0][0].shape == (2, 5, 8, 16, 3)
     # Consecutive windows (state carry contract).
     np.testing.assert_array_equal(wins[1][0], batches[0][0][:, 5:10])
+    # window > T must raise, not yield zero windows (a silent
+    # zero-update training epoch).
+    with pytest.raises(ValueError, match="exceeds the trajectory"):
+        list(TrajectoryDataset.windows(*batches[0], window=17))
 
 
 def test_archive_roundtrip(tmp_path):

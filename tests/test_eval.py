@@ -5,6 +5,7 @@ NLL, physics statistics, ensemble sharding over fake devices
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpuflow.configs.config import ModelConfig
 from tpuflow.data import generate_case
@@ -240,6 +241,72 @@ def test_energy_spectrum_mode_and_parseval():
     np.testing.assert_allclose(e[5], 0.5 * float((u**2).mean()), rtol=1e-5)
     np.testing.assert_allclose(e[3], 0.5 * float((v**2).mean()), rtol=1e-5)
     assert e[[0, 1, 2, 4, 6]].max() < 1e-10
+
+
+def test_energy_spectrum_physical_binning_and_taper():
+    """On an anisotropic domain, modes with equal PHYSICAL wavenumber
+    land in the same bin (index-space binning would separate them by
+    the aspect ratio); the Hann taper preserves broadband energy."""
+    from tpuflow.eval import energy_spectrum
+
+    h, w = 32, 64
+    x = np.arange(w) / w
+    y = np.arange(h) / h
+    # Domain (Ly, Lx) = (1, 4): mode n_x=4 has k_x = 4/4 = 1, the same
+    # physical wavenumber as mode n_y=1 (k_y = 1/1 = 1).
+    u = np.cos(2 * np.pi * 4 * x)[None, :] * np.ones((h, 1))
+    v = np.sin(2 * np.pi * 1 * y)[:, None] * np.ones((1, w))
+    fluct = np.stack([u, v], axis=-1).astype(np.float32)[None]
+    k, e = energy_spectrum(jnp.asarray(fluct), domain=(1.0, 4.0))
+    e = np.asarray(e)
+    # dk = max(1/1, 1/4) = 1; k_max = min(32/2, 64/8) = 8 -> 9 bins.
+    np.testing.assert_allclose(np.asarray(k), np.arange(9.0))
+    np.testing.assert_allclose(
+        e[1], 0.5 * float((u**2).mean() + (v**2).mean()), rtol=1e-5
+    )
+    assert e[np.arange(9) != 1].max() < 1e-10
+    # Parseval restricted to |k| <= k_max still holds.
+    np.testing.assert_allclose(
+        e.sum(), 0.5 * float((fluct**2).mean(axis=(0, 1, 2)).sum()), rtol=1e-5
+    )
+
+    # Taper: white-noise total energy is preserved exactly by the RMS
+    # window compensation; a pure mode stays peaked at its bin.
+    rng = np.random.default_rng(0)
+    noise = rng.normal(size=(4, h, w, 2)).astype(np.float32)
+    _, e_raw = energy_spectrum(jnp.asarray(noise))
+    _, e_tap = energy_spectrum(jnp.asarray(noise), taper=True)
+    # The taper redistributes power between modes (incl. the discarded
+    # corners), so compare totals loosely but match the raw total's
+    # ballpark: both are ~0.5*<|u'|^2> over the kept disc.
+    np.testing.assert_allclose(
+        np.asarray(e_tap).sum(), np.asarray(e_raw).sum(), rtol=0.15
+    )
+    _, e_mode = energy_spectrum(jnp.asarray(fluct), (1.0, 4.0), taper=True)
+    assert int(np.argmax(np.asarray(e_mode))) == 1
+
+
+def test_coverage_scales_length_mismatch_raises():
+    """Per-level recalibration factors must match the requested levels
+    — silent zip truncation would drop coverage entries."""
+    from tpuflow.eval import gaussian_coverage
+
+    mean = jnp.zeros((4, 4))
+    var = jnp.ones((4, 4))
+    with pytest.raises(ValueError, match="scales for"):
+        gaussian_coverage(
+            mean, var, mean, levels=(0.5, 0.9, 0.95), scales=jnp.ones(2)
+        )
+
+
+def test_stats_rollout_rejects_single_member():
+    """var over one member is identically zero — stats mode refuses,
+    fields mode stays available for single-sample generation."""
+    from tpuflow.eval.rollout import make_ensemble_rollout
+
+    with pytest.raises(ValueError, match=">= 2 ensemble members"):
+        make_ensemble_rollout(TMGlow(MC), 1, 0.7, collect="stats")
+    make_ensemble_rollout(TMGlow(MC), 1, 0.7, collect="fields")
 
 
 def test_ensemble_crps_brute_force_and_gaussian():

@@ -176,12 +176,17 @@ def main(argv=None) -> dict:
         )
         # Spectra of velocity fluctuations (time-mean flow removed);
         # predicted spectrum averages over time AND ensemble members.
+        # Binned by PHYSICAL wavenumber (the domains are 4:1) with a
+        # Hann taper (non-periodic flow: no boundary-jump leakage
+        # floor) — definition changed 2026-08-18; earlier recorded
+        # spectrum_rel_l2 values used index-space bins, no taper.
         pred_fluct = members[..., :2] - members[..., :2].mean(
             axis=(0, 1), keepdims=True
         )
         ref_fluct = jnp.asarray(hf0[..., :2] - hf0[..., :2].mean(0, keepdims=True))
-        k_bins, e_pred = energy_spectrum(pred_fluct)
-        _, e_ref = energy_spectrum(ref_fluct)
+        spec_domain = (cfg.data.domain_y, cfg.data.domain_x)
+        k_bins, e_pred = energy_spectrum(pred_fluct, spec_domain, taper=True)
+        _, e_ref = energy_spectrum(ref_fluct, spec_domain, taper=True)
         plot_energy_spectrum(
             out_dir, np.asarray(k_bins), np.asarray(e_pred), np.asarray(e_ref)
         )

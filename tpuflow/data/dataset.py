@@ -122,6 +122,14 @@ class TrajectoryDataset:
         step). Trailing partial windows are dropped — scan needs static
         shapes (XLA semantics)."""
         t = lf_batch.shape[1]
+        if window > t:
+            # range() below would be empty: whole "successful" epochs
+            # with zero gradient updates and untouched parameters.
+            raise ValueError(
+                f"data.window={window} exceeds the trajectory length "
+                f"{t} — no BPTT window fits; shrink data.window or "
+                "lengthen data.train_steps"
+            )
         for w0 in range(0, t - window + 1, window):
             yield lf_batch[:, w0 : w0 + window], hf_batch[:, w0 : w0 + window]
 

@@ -61,6 +61,17 @@ def make_ensemble_rollout(
       "stats":  dict with mean (T,H,W,C), var (T,H,W,C) over members.
       "fields": (T, N, H, W, C) all ensemble member fields.
     """
+    if collect == "stats" and n_samples < 2:
+        # var over one member is identically zero: every UQ surface
+        # downstream (±2σ bands, CRPS, coverage, calibrated variances)
+        # would silently report zero uncertainty. The UQ stat helpers
+        # (ensemble_crps, ensemble_zscores) raise for N < 2; so does
+        # the stats rollout that feeds them. Single-sample generation
+        # is still available via collect="fields".
+        raise ValueError(
+            f"stats-mode rollout needs >= 2 ensemble members (got "
+            f"{n_samples}); use collect='fields' for single samples"
+        )
     if collect not in ("stats", "fields"):
         raise ValueError(f"collect must be 'stats' or 'fields', got {collect!r}")
     cfg = model.cfg

@@ -152,6 +152,8 @@ def relative_l2(pred: jnp.ndarray, ref: jnp.ndarray, axes=None) -> jnp.ndarray:
 
 def energy_spectrum(
     fluct: jnp.ndarray,
+    domain: tuple[float, float] | None = None,
+    taper: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Radial kinetic-energy spectrum of 2D velocity fluctuations.
 
@@ -163,31 +165,57 @@ def energy_spectrum(
     Args:
       fluct: (..., H, W, Cv) velocity FLUCTUATION components (mean flow
         removed); leading axes (time/ensemble) are averaged over.
+      domain: optional physical extents ``(Ly, Lx)``. When given, modes
+        are binned by PHYSICAL radial wavenumber
+        ``|k| = sqrt((n_y/Ly)^2 + (n_x/Lx)^2)`` (cycles per unit
+        length) in bins of width ``dk = max(1/Ly, 1/Lx)`` (the coarser
+        fundamental, so every bin is populated) up to the isotropically
+        resolved ``k_max = min(H/(2 Ly), W/(2 Lx))``. This matters on
+        the shipped 4:1-aspect domains: index-space binning would
+        aggregate modes whose physical wavenumbers differ by the aspect
+        ratio (e.g. n=(4,0) at k=1 with n=(0,4) at k=4). None (default)
+        = bin by integer mode index (equivalent to ``domain=(1, 1)``).
+      taper: apply a 2D Hann window (power-compensated) before the FFT.
+        The flow domains are NOT periodic (inflow != outflow), so the
+        raw periodic FFT adds a ~k^-2 leakage floor from the boundary
+        jump to both spectra; the taper removes it at the cost of
+        ~2-bin smearing of sharp modes.
 
     Returns:
-      (k, E): integer radial wavenumber bins ``k`` (nbins,) with
-      ``nbins = min(H, W) // 2 + 1`` and spectrum ``E`` (nbins,),
-      normalized so that ``sum(E) = 0.5 * <|u'|^2>_grid`` restricted to
-      the isotropically-sampled modes ``|k| <= min(H, W)/2`` (corner
-      modes beyond that radius are discarded, not folded in).
+      (k, E): bin-center wavenumbers ``k`` (nbins,) and spectrum ``E``
+      (nbins,), normalized so that ``sum(E) = 0.5 * <|u'|^2>_grid``
+      restricted to the isotropically-sampled modes ``|k| <= k_max``
+      (corner modes beyond that radius are discarded, not folded in;
+      with ``taper`` the identity holds in expectation for broadband
+      fields, exactly preserving white-noise energy).
     """
     *_, h, w, _c = fluct.shape
+    ly, lx = (1.0, 1.0) if domain is None else (
+        float(domain[0]), float(domain[1])
+    )
     x = fluct.reshape((-1, h, w, _c))
+    if taper:
+        win = np.hanning(h)[:, None] * np.hanning(w)[None, :]
+        # Divide by the RMS window gain so broadband (white) power is
+        # preserved exactly and turbulent spectra in expectation.
+        win = win / np.sqrt((win**2).mean())
+        x = x * jnp.asarray(win, dtype=x.dtype)[None, :, :, None]
     fh = jnp.fft.fft2(x, axes=(1, 2))
     # Mean power over leading axes, summed over velocity components;
     # 1/(HW)^2 makes sum-over-modes equal the grid-mean square
     # (Parseval for the unnormalized FFT).
     ps = (jnp.abs(fh) ** 2).sum(axis=-1).mean(axis=0) / float(h * w) ** 2
-    ky = np.fft.fftfreq(h) * h
-    kx = np.fft.fftfreq(w) * w
+    ky = np.fft.fftfreq(h) * h / ly
+    kx = np.fft.fftfreq(w) * w / lx
     kr = np.sqrt(ky[:, None] ** 2 + kx[None, :] ** 2)
-    nbins = min(h, w) // 2 + 1
-    r = np.round(kr).astype(np.int32)
+    dk = max(1.0 / ly, 1.0 / lx)
+    nbins = int(np.floor(min(h / (2 * ly), w / (2 * lx)) / dk)) + 1
+    r = np.round(kr / dk).astype(np.int32)
     bins = np.where(r < nbins, r, nbins)  # overflow bin discarded below
     seg = jax.ops.segment_sum(
         ps.ravel(), jnp.asarray(bins.ravel()), num_segments=nbins + 1
     )
-    return jnp.arange(nbins, dtype=jnp.float32), 0.5 * seg[:nbins]
+    return jnp.arange(nbins, dtype=jnp.float32) * dk, 0.5 * seg[:nbins]
 
 
 def ensemble_crps(
@@ -284,6 +312,13 @@ def gaussian_coverage(
     z = jnp.abs(ref - mean) / jnp.sqrt(var + 1e-20)
     if scales is None:
         scales = jnp.ones(len(levels))
+    elif len(scales) != len(levels):
+        # zip would silently truncate, returning coverage for fewer
+        # levels than requested — a wrong-shape UQ result.
+        raise ValueError(
+            f"{len(scales)} scales for {len(levels)} levels; per-level "
+            "recalibration factors must match the requested levels"
+        )
     out = []
     for q, s in zip(levels, scales):
         out.append(jnp.mean(z <= s * interval_z(q)))

@@ -117,6 +117,13 @@ def make_trajectory_train_step(
     def trajectory_step(params, buffers, opt_state, lf_traj, hf_traj):
         b, t = lf_traj.shape[:2]
         n_win = t // window
+        if n_win == 0:
+            # Mirrors TrajectoryDataset.windows: zero windows would be
+            # a silent no-op training step (params pass through).
+            raise ValueError(
+                f"data.window={window} exceeds the trajectory length "
+                f"{t} — no BPTT window fits"
+            )
         # (B, T, ...) -> (n_win, B, window, ...)
         def to_windows(x):
             x = x[:, : n_win * window]
