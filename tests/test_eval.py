@@ -286,6 +286,36 @@ def test_energy_spectrum_physical_binning_and_taper():
     assert int(np.argmax(np.asarray(e_mode))) == 1
 
 
+def test_wasserstein1_and_fluctuation_pdf():
+    """W1 of identical samples is ~0, a pure location shift recovers
+    the shift (quantile identity), and the PDF integrates to 1 on a
+    shared range."""
+    from tpuflow.eval import fluctuation_pdf, wasserstein1
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=20000).astype(np.float32)
+    b = (rng.normal(size=5000) + 0.5).astype(np.float32)  # shifted, fewer
+    assert float(wasserstein1(jnp.asarray(a), jnp.asarray(a))) < 1e-6
+    w1 = float(wasserstein1(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(w1, 0.5, atol=0.05)
+    # Symmetry of the transport distance.
+    np.testing.assert_allclose(
+        w1, float(wasserstein1(jnp.asarray(b), jnp.asarray(a))), rtol=1e-5
+    )
+
+    lo, hi = float(min(a.min(), b.min())), float(max(a.max(), b.max()))
+    centers, density = fluctuation_pdf(jnp.asarray(a), lo=lo, hi=hi)
+    assert centers.shape == density.shape == (64,)
+    width = float(centers[1] - centers[0])
+    np.testing.assert_allclose(float(density.sum()) * width, 1.0, rtol=1e-4)
+    # Shared bin edges: the shifted distribution peaks right of the
+    # original on the same axis.
+    _, density_b = fluctuation_pdf(jnp.asarray(b), lo=lo, hi=hi)
+    assert float(centers[jnp.argmax(density_b)]) > float(
+        centers[jnp.argmax(density)]
+    )
+
+
 def test_coverage_scales_length_mismatch_raises():
     """Per-level recalibration factors must match the requested levels
     — silent zip truncation would drop coverage entries."""

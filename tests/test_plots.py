@@ -4,6 +4,7 @@
 import numpy as np
 
 from tpuflow.eval.plots import (
+    plot_fluctuation_pdf,
     plot_nll_curve,
     plot_prediction_panels,
     plot_energy_spectrum,
@@ -50,6 +51,12 @@ def test_all_figures_written(tmp_path):
             rng.normal(size=(12, H, W, C)).astype(np.float32),
         ),
         plot_vorticity(tmp_path, mean[..., 0], hf[..., 0], t=3),
+        plot_fluctuation_pdf(
+            tmp_path,
+            np.stack([np.linspace(-3, 3, 64)] * 2),
+            np.abs(rng.normal(size=(2, 64))).astype(np.float32),
+            np.abs(rng.normal(size=(2, 64))).astype(np.float32),
+        ),
     ]
     for p in paths:
         assert p.exists() and p.stat().st_size > 1000, p

@@ -29,6 +29,7 @@ from tpuflow.eval.calibrate import (
 from tpuflow.eval.loading import load_eval_bundle
 from tpuflow.eval.plots import (
     plot_energy_spectrum,
+    plot_fluctuation_pdf,
     plot_nll_curve,
     plot_reliability,
     plot_tke,
@@ -43,7 +44,9 @@ from tpuflow.eval.stats import (
     energy_spectrum,
     ensemble_coverage,
     ensemble_crps,
+    fluctuation_pdf,
     relative_l2,
+    wasserstein1,
     reynolds_stress_uv,
     tke_field,
     total_variance,
@@ -193,7 +196,30 @@ def main(argv=None) -> dict:
         plot_reliability(
             out_dir, np.asarray(_COVERAGE_LEVELS), np.asarray(coverage)
         )
+        # Velocity-fluctuation PDFs (the reference's PDF comparison
+        # figure, arXiv:2006.04731 §4) + a scalar transport distance:
+        # Wasserstein-1 between the pooled predicted and HF fluctuation
+        # distributions per velocity channel, normalized by the HF
+        # channel std so the number is scale-free across cases.
+        pdf_w1 = {}
+        pdf_centers, pdf_pred, pdf_ref = [], [], []
+        for c, name in enumerate(("u", "v")):
+            pf, rf = pred_fluct[..., c], ref_fluct[..., c]
+            ref_std = float(jnp.std(rf)) + 1e-12
+            pdf_w1[f"pdf_w1_{name}"] = float(wasserstein1(pf, rf)) / ref_std
+            lo = float(min(pf.min(), rf.min()))
+            hi = float(max(pf.max(), rf.max()))
+            centers, dp = fluctuation_pdf(pf, lo=lo, hi=hi)
+            _, dr = fluctuation_pdf(rf, lo=lo, hi=hi)
+            pdf_centers.append(np.asarray(centers))
+            pdf_pred.append(np.asarray(dp))
+            pdf_ref.append(np.asarray(dr))
+        plot_fluctuation_pdf(
+            out_dir, np.stack(pdf_centers), np.stack(pdf_pred),
+            np.stack(pdf_ref),
+        )
         calib = {
+            **pdf_w1,
             "crps_mean": float(np.mean(np.asarray(crps))),
             "coverage": {
                 f"{q:.2f}": float(c)

@@ -30,6 +30,8 @@ from tpuflow.eval.stats import (
     gaussian_coverage,
     divergence,
     vorticity,
+    fluctuation_pdf,
+    wasserstein1,
 )
 
 __all__ = [
@@ -56,4 +58,6 @@ __all__ = [
     "gaussian_coverage",
     "divergence",
     "vorticity",
+    "fluctuation_pdf",
+    "wasserstein1",
 ]

@@ -234,6 +234,40 @@ def plot_energy_spectrum(
     return path
 
 
+def plot_fluctuation_pdf(
+    out_dir: str | pathlib.Path,
+    centers: np.ndarray,      # (C, bins) shared bin centers per channel
+    density_pred: np.ndarray,  # (C, bins) predicted density per channel
+    density_ref: np.ndarray,   # (C, bins) reference density per channel
+    channels: tuple[str, ...] = ("u'", "v'"),
+) -> pathlib.Path:
+    """Velocity-fluctuation PDFs, predicted ensemble vs HF reference
+    (the reference's PDF comparison figure, arXiv:2006.04731 §4).
+    Log-y density so the non-Gaussian tails — where a generative model
+    earns its keep over a Gaussian closure — are visible."""
+    out_dir = pathlib.Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    n = len(channels)
+    fig, axes = plt.subplots(1, n, figsize=(4.2 * n, 3.4))
+    axes = np.atleast_1d(axes)
+    for c, (ax, name) in enumerate(zip(axes, channels)):
+        ax.semilogy(
+            centers[c], np.maximum(density_ref[c], 1e-12), "--",
+            label="HF reference",
+        )
+        ax.semilogy(
+            centers[c], np.maximum(density_pred[c], 1e-12), label="predicted"
+        )
+        ax.set_xlabel(name)
+        ax.set_ylabel("PDF")
+        ax.grid(alpha=0.3, which="both")
+        ax.legend(fontsize=8)
+    path = out_dir / "fluctuation_pdf.png"
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def plot_reliability(
     out_dir: str | pathlib.Path,
     levels: np.ndarray,

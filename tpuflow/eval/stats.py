@@ -218,6 +218,58 @@ def energy_spectrum(
     return jnp.arange(nbins, dtype=jnp.float32) * dk, 0.5 * seg[:nbins]
 
 
+def fluctuation_pdf(
+    samples: jnp.ndarray, bins: int = 64, lo: float | None = None,
+    hi: float | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Empirical probability density of pooled scalar samples.
+
+    Parity: the reference's velocity-fluctuation PDF figures
+    (arXiv:2006.04731 §4 compares predicted vs HF probability density
+    functions of the velocity fluctuations) — this is the histogram
+    density behind that figure, pooled over every axis of ``samples``.
+
+    Args:
+      samples: fluctuation values, any shape (flattened internally).
+      bins: histogram bin count.
+      lo, hi: histogram range; default = sample min/max. Pass a COMMON
+        range when comparing two PDFs (the predicted and reference
+        histograms must share bin edges to be comparable curves).
+
+    Returns:
+      (centers, density): bin centers (bins,) and density (bins,)
+      normalized so ``sum(density) * bin_width = 1``.
+    """
+    x = samples.ravel()
+    lo = float(x.min()) if lo is None else lo
+    hi = float(x.max()) if hi is None else hi
+    density, edges = jnp.histogram(x, bins=bins, range=(lo, hi), density=True)
+    return 0.5 * (edges[:-1] + edges[1:]), density
+
+
+def wasserstein1(
+    a: jnp.ndarray, b: jnp.ndarray, n_quantiles: int = 256
+) -> jnp.ndarray:
+    """Wasserstein-1 distance between two empirical 1D distributions.
+
+    Scalar companion of the PDF figure (``fluctuation_pdf``): a single
+    transport distance between the predicted and reference fluctuation
+    distributions, in the same units as the samples. Uses the 1D
+    identity W1 = ∫|F_a⁻¹(q) − F_b⁻¹(q)| dq on a midpoint quantile
+    grid, so the sample counts of ``a`` and ``b`` may differ (they do:
+    the ensemble pools N× more values than the reference) and neither
+    an N_a × N_b coupling nor equal-length sorting is materialized.
+
+    Args:
+      a, b: samples of each distribution, any shapes (flattened).
+      n_quantiles: quantile-grid resolution (midpoint rule).
+
+    Returns: scalar W1 estimate.
+    """
+    q = (jnp.arange(n_quantiles, dtype=jnp.float32) + 0.5) / n_quantiles
+    return jnp.mean(jnp.abs(jnp.quantile(a.ravel(), q) - jnp.quantile(b.ravel(), q)))
+
+
 def ensemble_crps(
     members: jnp.ndarray, ref: jnp.ndarray, axis: int = 0
 ) -> jnp.ndarray:

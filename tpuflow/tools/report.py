@@ -101,6 +101,8 @@ def build_report(out_dir: pathlib.Path, case: str) -> str:
         ("skewness MAE", "skew_mae"),
         ("kurtosis MAE", "kurt_mae"),
         ("Reynolds <u'v'> rel-L2", "reynolds_uv_rel_l2"),
+        ("u' PDF Wasserstein-1 / std", "pdf_w1_u"),
+        ("v' PDF Wasserstein-1 / std", "pdf_w1_v"),
     ]
     for label, key in physics:
         if key in m:
