@@ -64,8 +64,15 @@ def sweep(cfg, members, steps: int, repeats: int = 3) -> list[dict]:
 
     rows = []
     for n in members:
+        # stats-mode rollout (the production UQ path) requires N >= 2 by
+        # contract (variance over one member is identically zero); the
+        # supported single-sample path is collect="fields", so the N=1
+        # leg of the sweep measures that instead.
+        collect = "stats" if n >= 2 else "fields"
         fn = jax.jit(
-            make_ensemble_rollout(model, int(n), temperature=0.7, collect="stats")
+            make_ensemble_rollout(
+                model, int(n), temperature=0.7, collect=collect
+            )
         )
         _materialize(fn(variables, lf_traj, jax.random.PRNGKey(0)))  # compile+warm
         rates = []
