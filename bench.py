@@ -89,12 +89,12 @@ def _build(use_pallas: bool):
     return cfg, variables, rollout, lf_traj_np
 
 
-def _materialize(out) -> float:
-    """Force completion with a host transfer — block_until_ready has
-    been observed returning early through this machine's TPU tunnel,
-    but the bytes cannot arrive before the computation finishes. The
-    device-side one-element slice keeps the transfer O(1) bytes."""
-    return float(np.asarray(jax.tree.leaves(out)[0].ravel()[:1])[0])
+def _materialize(out) -> None:
+    """Force TRUE completion before/after a timed region (shared
+    helper; see its docstring for the tunneled-backend rationale)."""
+    from tpuflow.utils.profiling import force_completion
+
+    force_completion(out)
 
 
 def _time_rollout(rollout, variables, lf_traj, steps: int, repeats: int = 5) -> float:

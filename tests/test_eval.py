@@ -259,12 +259,23 @@ def test_energy_spectrum_physical_binning_and_taper():
     fluct = np.stack([u, v], axis=-1).astype(np.float32)[None]
     k, e = energy_spectrum(jnp.asarray(fluct), domain=(1.0, 4.0))
     e = np.asarray(e)
-    # dk = max(1/1, 1/4) = 1; k_max = min(32/2, 64/8) = 8 -> 9 bins.
-    np.testing.assert_allclose(np.asarray(k), np.arange(9.0))
+    # dk = min(1/1, 1/4) = 0.25 (smallest fundamental); k_max =
+    # min(32/2, 64/8) = 8 -> 33 bins; both modes sit at k=1 -> bin 4.
+    np.testing.assert_allclose(np.asarray(k), np.arange(33) * 0.25)
     np.testing.assert_allclose(
-        e[1], 0.5 * float((u**2).mean() + (v**2).mean()), rtol=1e-5
+        e[4], 0.5 * float((u**2).mean() + (v**2).mean()), rtol=1e-5
     )
-    assert e[np.arange(9) != 1].max() < 1e-10
+    assert e[np.arange(33) != 4].max() < 1e-10
+
+    # Regression (2026-08-19): the longest streamwise mode (n_x=1 ->
+    # k=0.25, BELOW the max fundamental 1/Ly=1) must land in bin 1,
+    # not be folded into the k=0 mean-mode bin that consumers discard.
+    u1 = np.cos(2 * np.pi * 1 * x)[None, :] * np.ones((h, 1))
+    f1 = np.stack([u1, np.zeros_like(u1)], axis=-1).astype(np.float32)[None]
+    k1, e1 = energy_spectrum(jnp.asarray(f1), domain=(1.0, 4.0))
+    e1 = np.asarray(e1)
+    assert float(e1[0]) < 1e-10
+    np.testing.assert_allclose(e1[1], 0.5 * float((u1**2).mean()), rtol=1e-5)
     # Parseval restricted to |k| <= k_max still holds.
     np.testing.assert_allclose(
         e.sum(), 0.5 * float((fluct**2).mean(axis=(0, 1, 2)).sum()), rtol=1e-5
@@ -283,7 +294,7 @@ def test_energy_spectrum_physical_binning_and_taper():
         np.asarray(e_tap).sum(), np.asarray(e_raw).sum(), rtol=0.15
     )
     _, e_mode = energy_spectrum(jnp.asarray(fluct), (1.0, 4.0), taper=True)
-    assert int(np.argmax(np.asarray(e_mode))) == 1
+    assert int(np.argmax(np.asarray(e_mode))) == 4  # k=1 at dk=0.25
 
 
 def test_wasserstein1_and_fluctuation_pdf():

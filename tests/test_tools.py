@@ -12,8 +12,8 @@ import jax
 from tpuflow.configs.config import CaseConfig, DataConfig, ModelConfig
 from tpuflow.models import TMGlow, init_lstm_state
 from tpuflow.tools.convert_torch import (
-    _validate_against_model,
     convert_state_dict,
+    partition_variables,
     torch_tensor_to_flax,
 )
 
@@ -35,16 +35,21 @@ def test_layout_rules():
     np.testing.assert_array_equal(torch_tensor_to_flax("bias", b), b)
 
 
-def _model_params():
+def _model_variables():
     # Random init batch: ActNorm's data-dependent init degenerates on
     # constant inputs (std=0 -> 1e6 scales).
     model = TMGlow(MC)
     hf = jax.random.normal(jax.random.PRNGKey(1), (1, *MC.hf_shape, 3))
     lf = jax.random.normal(jax.random.PRNGKey(2), (1, *MC.lf_shape, 3))
-    variables = model.init(
-        jax.random.PRNGKey(0), hf, lf, init_lstm_state(MC, (1,))
-    )
-    return variables["params"]
+    return model.init(jax.random.PRNGKey(0), hf, lf, init_lstm_state(MC, (1,)))
+
+
+def _variables_to_torch_state_dict(variables):
+    """Inverse mapping: full flax variables (params + buffers, the way a
+    torch ``state_dict()`` carries both flat) -> torch state_dict."""
+    sd = _params_to_torch_state_dict(variables["params"])
+    sd.update(_params_to_torch_state_dict(variables["buffers"]))
+    return sd
 
 
 def _params_to_torch_state_dict(params):
@@ -66,42 +71,42 @@ def _params_to_torch_state_dict(params):
 
 
 def test_convert_roundtrip_and_validation():
-    params = _model_params()
-    sd = _params_to_torch_state_dict(params)
+    variables = _model_variables()
+    sd = _variables_to_torch_state_dict(variables)
     converted = convert_state_dict(sd)
 
+    # Validation goes through the production partitioner (the same code
+    # main() gates on), not a test-only copy of its logic.
     cfg = CaseConfig(name="backward-step", model=MC, data=DataConfig())
-    problems = _validate_against_model(converted, cfg)
+    params, buffers, problems = partition_variables(converted, cfg)
     assert problems == [], problems[:5]
 
-    # Values roundtrip exactly.
-    ref = jax.tree_util.tree_flatten_with_path(params)[0]
-    got = jax.tree_util.tree_flatten_with_path(converted)[0]
-    assert len(ref) == len(got)
-    for (pa, a), (pb, b) in zip(sorted(ref, key=str), sorted(got, key=str)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Values roundtrip exactly (params and buffers both).
+    for coll, tree in (("params", params), ("buffers", buffers)):
+        ref = jax.tree_util.tree_flatten_with_path(variables[coll])[0]
+        got = jax.tree_util.tree_flatten_with_path(tree)[0]
+        assert len(ref) == len(got)
+        for (pa, a), (pb, b) in zip(sorted(ref, key=str), sorted(got, key=str)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    # Converted params drive the real model.
+    # Converted variables drive the real model.
     model = TMGlow(MC)
     hf = jax.random.normal(jax.random.PRNGKey(1), (1, *MC.hf_shape, 3))
     lf = jax.random.normal(jax.random.PRNGKey(2), (1, *MC.lf_shape, 3))
-    buffers = model.init(
-        jax.random.PRNGKey(0), hf, lf, init_lstm_state(MC, (1,))
-    )["buffers"]
     bpd, _ = model.apply(
-        {"params": converted, "buffers": buffers},
+        {"params": params, "buffers": buffers},
         hf, lf, init_lstm_state(MC, (1,)),
     )
     assert np.all(np.isfinite(bpd))
 
 
 def test_validation_catches_mismatch():
-    params = _model_params()
-    sd = _params_to_torch_state_dict(params)
+    variables = _model_variables()
+    sd = _variables_to_torch_state_dict(variables)
     sd.pop(sorted(sd)[0])  # drop one tensor
     converted = convert_state_dict(sd)
     cfg = CaseConfig(name="backward-step", model=MC, data=DataConfig())
-    problems = _validate_against_model(converted, cfg)
+    _, _, problems = partition_variables(converted, cfg)
     assert any("missing" in p for p in problems)
 
 

@@ -208,7 +208,13 @@ def energy_spectrum(
     ky = np.fft.fftfreq(h) * h / ly
     kx = np.fft.fftfreq(w) * w / lx
     kr = np.sqrt(ky[:, None] ** 2 + kx[None, :] ** 2)
-    dk = max(1.0 / ly, 1.0 / lx)
+    # Bin width = the SMALLEST fundamental wavenumber, so every nonzero
+    # mode lands in bin >= 1 (min nonzero |k| is exactly dk). The
+    # max-fundamental choice used before 2026-08-19 folded sub-dk
+    # streamwise modes of anisotropic domains (k = 0.25, 0.5 on the 4:1
+    # cases) into bin 0, which every consumer discards as "the mean
+    # mode" — silently dropping the most energetic wake modes.
+    dk = min(1.0 / ly, 1.0 / lx)
     nbins = int(np.floor(min(h / (2 * ly), w / (2 * lx)) / dk)) + 1
     r = np.round(kr / dk).astype(np.int32)
     bins = np.where(r < nbins, r, nbins)  # overflow bin discarded below
@@ -243,6 +249,12 @@ def fluctuation_pdf(
     x = samples.ravel()
     lo = float(x.min()) if lo is None else lo
     hi = float(x.max()) if hi is None else hi
+    if hi <= lo:
+        # Constant samples (e.g. an identically-zero masked channel):
+        # a zero-width range would make every bin width 0 and the
+        # density inf/NaN. Widen to an epsilon so the degenerate case
+        # stays a representable (single-spike) density.
+        hi = lo + max(1e-6, abs(lo) * 1e-6)
     density, edges = jnp.histogram(x, bins=bins, range=(lo, hi), density=True)
     return 0.5 * (edges[:-1] + edges[1:]), density
 

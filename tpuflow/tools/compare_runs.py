@@ -34,6 +34,11 @@ _DIRECTION = {
     "skew_mae": "down",
     "kurt_mae": "down",
     "reynolds_uv_rel_l2": "down",
+    "pdf_w1_u": "down",
+    "pdf_w1_v": "down",
+    # divergence_rms_ratio is deliberately direction-less: pred/ref RMS
+    # divergence ~1 matches the reference's discretization; smaller can
+    # just mean oversmoothing, so no better/worse verdict is assigned.
     "rollout_steps_per_sec": "up",
 }
 _CONTEXT = ("n_test_traj", "steps", "n_samples", "backend")

@@ -59,9 +59,7 @@ def torch_tensor_to_flax(name: str, array: np.ndarray) -> np.ndarray:
 # Identity mapping: torch modules exported with tpuflow's own naming
 # ("glow.scale0_step1.coupling.net.conv_in.weight" etc.).
 def default_key_map(torch_key: str) -> tuple[str, ...] | None:
-    key = torch_key
-    key = re.sub(r"\.weight$", ".kernel", key)
-    key = re.sub(r"\.bias$", ".bias", key)
+    key = re.sub(r"\.weight$", ".kernel", torch_key)
     return tuple(key.split("."))
 
 
@@ -164,26 +162,6 @@ def partition_variables(
     return _unflatten(out_p), _unflatten(out_b), problems
 
 
-def _validate_against_model(params: dict, cfg) -> list[str]:
-    """Shape-validate a params-only tree against the model's params
-    collection; returns mismatch descriptions (empty = exact match)."""
-    exp_params, _ = _expected_flat(cfg)
-    got = _flatten(params)
-    problems = []
-    for key, want in exp_params.items():
-        if key not in got:
-            problems.append(f"missing: {key} {want.shape}")
-        elif tuple(got[key].shape) != tuple(want.shape):
-            problems.append(
-                f"shape mismatch {key}: got {got[key].shape}, "
-                f"want {want.shape}"
-            )
-    for key in got:
-        if key not in exp_params:
-            problems.append(f"unexpected: {key}")
-    return problems
-
-
 def _norm_stats(blob, cfg):
     """Normalization constants: prefer a ``norm`` dict shipped in the
     torch blob; else compute from the configured dataset exactly as
@@ -214,6 +192,9 @@ def main(argv=None) -> None:
 
     blob = torch.load(in_path, map_location="cpu", weights_only=False)
     state_dict = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+    # A flat blob may carry the ``norm`` constants dict alongside the
+    # tensors; it is consumed by _norm_stats, not a model tensor.
+    state_dict = {k: v for k, v in state_dict.items() if k != "norm"}
     converted = convert_state_dict(state_dict)
     params, buffers, problems = partition_variables(converted, cfg)
     if problems:
@@ -235,8 +216,22 @@ def main(argv=None) -> None:
         "opt_state": opt.init(params),
         "norm": _norm_stats(blob, cfg),
     }
+    # Meta matches the trainer's own save layout (trainer.py _save meta)
+    # so resume via ``cli.train`` and inspect_checkpoint's config<->state
+    # drift check both work on converted checkpoints.
+    import dataclasses
+
     ckpt = Checkpointer(out_dir)
-    ckpt.save(0, state, meta={"source": in_path, "epoch": 0, "step": 0})
+    ckpt.save(
+        0,
+        state,
+        meta={
+            "source": in_path,
+            "epoch": 0,
+            "global_step": 0,
+            "config": dataclasses.asdict(cfg),
+        },
+    )
     print(
         f"converted {len(state_dict)} tensors -> {out_dir} "
         "(full checkpoint: params/buffers/opt_state/norm)"

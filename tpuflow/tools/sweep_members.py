@@ -31,10 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _materialize(out) -> float:
-    """Force completion via a 1-element host transfer (block_until_ready
-    can return early through tunneled backends — see bench.py)."""
-    return float(np.asarray(jax.tree.leaves(out)[0].ravel()[:1])[0])
+from tpuflow.utils.profiling import force_completion as _materialize
 
 
 def sweep(cfg, members, steps: int, repeats: int = 3) -> list[dict]:

@@ -43,24 +43,31 @@ def sweep(cfg, temperatures) -> list[dict]:
             model, cfg.eval.n_samples, collect="stats"
         )
     )
+    # tau-independent per-trajectory reference prep, hoisted out of the
+    # temperature loop: the denormalized HF field, its temporal TKE and
+    # the LF input never change with tau — recomputing (and re-uploading)
+    # them per tau multiplied sweep wall-clock by ~len(temperatures).
+    lf_in = [jnp.asarray(ds.lf[i, :T]) for i in range(ds.n_traj)]
+    hf_ref = [jnp.asarray(ds.denorm_hf(ds.hf[i, :T])) for i in range(ds.n_traj)]
+    hf_tke = [tke_field(hf.var(axis=0)) for hf in hf_ref]
+
     rows = []
     for tau in temperatures:
         tke_errs, field_errs, crps_vals, spreads = [], [], [], []
         for i in range(ds.n_traj):
             out = rollout(
                 variables,
-                jnp.asarray(ds.lf[i, :T]),
+                lf_in[i],
                 jax.random.PRNGKey(i),
                 jnp.float32(tau),
             )
             mean = jnp.asarray(ds.denorm_hf(np.asarray(out["mean"])))
             var = jnp.asarray(ds.denorm_hf_var(np.asarray(out["var"])))
-            hf = jnp.asarray(ds.denorm_hf(ds.hf[i, :T]))
+            hf, ref_tke = hf_ref[i], hf_tke[i]
             tke_errs.append(
                 float(
                     relative_l2(
-                        tke_field(total_variance(mean, var)),
-                        tke_field(hf.var(axis=0)),
+                        tke_field(total_variance(mean, var)), ref_tke
                     )
                 )
             )
