@@ -148,6 +148,21 @@ def test_cli_train_rollout_evaluate_pipeline(tmp_path):
     assert coverage_keys <= set(emetrics), coverage_keys - set(emetrics)
 
 
+def test_eval_without_checkpoint_is_hard_error(tmp_path):
+    """A typo'd checkpoint_dir must fail loudly, not silently evaluate
+    an untrained model (eval/loading.py contract); the explicit
+    eval.allow_untrained escape restores the smoke-run path."""
+    from tpuflow.eval.loading import load_eval_bundle
+
+    cfg = parse_args(_overrides(tmp_path))  # nothing trained here
+    with pytest.raises(FileNotFoundError, match="refusing to evaluate"):
+        load_eval_bundle(cfg)
+
+    cfg2 = parse_args(_overrides(tmp_path) + ["eval.allow_untrained=true"])
+    model, variables, norm = load_eval_bundle(cfg2)
+    assert norm is None  # fresh init carries no dataset constants
+
+
 def test_quickstart_overrides_match_schema():
     """Every dotted `key=value` override in examples/quickstart.py must
     exist in the config schema — a renamed field would break the

@@ -169,6 +169,11 @@ class EvalConfig:
     # Trajectories per batched-rollout dispatch in cli/evaluate.py —
     # bounds peak activation memory at traj_batch * n_samples members.
     traj_batch: int = 4
+    # Evaluating with NO checkpoint is an error by default: a typo'd
+    # checkpoint_dir would otherwise silently evaluate an untrained
+    # model and emit a complete, plausible-looking eval_metrics.json.
+    # Set true only for explicit untrained smoke rollouts.
+    allow_untrained: bool = False
 
 
 @dataclass(frozen=True)

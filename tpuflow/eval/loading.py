@@ -1,7 +1,9 @@
 """Checkpoint loading for evaluation (SURVEY.md §3.2: load checkpoint →
 rollout). Builds the abstract state image from config alone (eval_shape
-— no data needed) and restores params/buffers/norm; falls back to a
-fresh init when no checkpoint exists (untrained smoke rollouts)."""
+— no data needed) and restores params/buffers/norm. A missing
+checkpoint is a HARD ERROR unless ``eval.allow_untrained`` is set: a
+typo'd checkpoint_dir must not silently produce an untrained model's
+plausible-looking metrics."""
 
 from __future__ import annotations
 
@@ -29,7 +31,16 @@ def load_eval_bundle(
     ckpt_dir = pathlib.Path(cfg.train.checkpoint_dir) / cfg.name
     ckpt = Checkpointer(ckpt_dir)
     if ckpt.latest_step() is None:
-        print(f"no checkpoint under {ckpt_dir}; using fresh init")
+        if not cfg.eval.allow_untrained:
+            raise FileNotFoundError(
+                f"no checkpoint under {ckpt_dir} — refusing to evaluate "
+                "an untrained model (its metrics would look plausible "
+                "but be meaningless). Check train.checkpoint_dir, or "
+                "pass eval.allow_untrained=true for an explicit "
+                "untrained smoke run."
+            )
+        print(f"no checkpoint under {ckpt_dir}; using fresh init "
+              "(eval.allow_untrained=true)")
         variables = model.init(jax.random.PRNGKey(cfg.train.seed), hf, lf, state)
         return model, variables, None
 
