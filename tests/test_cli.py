@@ -85,6 +85,15 @@ def test_cli_train_rollout_evaluate_pipeline(tmp_path):
     assert 0.0 <= emetrics["coverage_holdout_per_level"]["0.90"] <= 1.0
     assert (out_dir / "reliability_holdout.png").exists()
     assert (out_dir / "nll_curve.png").exists()
+    # Trivial-baseline comparator: bicubic LF upsampling on the same
+    # metric set + explicit skill ratios (eval/baseline.py).
+    for k in (
+        "baseline_field_rel_l2_mean", "baseline_tke_rel_l2_mean",
+        "baseline_vorticity_rel_l2_mean", "baseline_spectrum_rel_l2",
+        "baseline_pdf_w1_u", "field_skill_vs_baseline",
+        "tke_skill_vs_baseline",
+    ):
+        assert np.isfinite(emetrics[k]) and emetrics[k] > 0, k
 
     # Trajectory chunking (eval.traj_batch) is a pure memory bound:
     # per-trajectory PRNG keys make chunked and single-dispatch

@@ -43,6 +43,64 @@ def test_unknown_case_raises():
         generate_case("bogus", 1, 2, (16, 16), (4, 4))
 
 
+def test_fixture_v2_phase_error_grows():
+    """v2 contract (VERDICT r1 item 4): the LF trajectory is a coarse
+    re-run whose phase error GROWS over the trajectory — early frames
+    track HF closely, late frames have drifted — while HF itself is
+    identical to v1 (same vortex identities and phases)."""
+    T = 48
+    lf1, hf1 = generate_case("backward-step", 1, T, (32, 64), (8, 16), seed=5)
+    lf2, hf2 = generate_case(
+        "backward-step", 1, T, (32, 64), (8, 16), seed=5, fixture_version=2
+    )
+    np.testing.assert_array_equal(hf1, hf2)
+    assert not np.allclose(lf1, lf2)
+
+    # Per-timestep correlation of the v channel (pure vortex signal, no
+    # mean profile) between LF and average-pooled HF.
+    hf_pooled = hf2.reshape(1, T, 8, 4, 16, 4, 3).mean(axis=(3, 5))
+
+    def v_corr(lf, t):
+        a, b = lf[0, t, ..., 1].ravel(), hf_pooled[0, t, ..., 1].ravel()
+        return np.corrcoef(a, b)[0, 1]
+
+    early = np.mean([v_corr(lf2, t) for t in range(8)])
+    late = np.mean([v_corr(lf2, t) for t in range(T - 8, T)])
+    assert late < early - 0.1, (early, late)  # phase error accumulates
+    # ...but LF stays informative (correlated), not noise.
+    assert early > 0.7, early
+    # v1 has NO phase error: its late-time correlation stays high.
+    late_v1 = np.mean([v_corr(lf1, t) for t in range(T - 8, T)])
+    assert late_v1 > 0.9, late_v1
+
+
+def test_fixture_v2_spectral_truncation():
+    """v2 removes LF content above the 0.6-Nyquist cutoff (coarse-mesh
+    resolution limit); v1 only damps it."""
+    lf1, _ = generate_case("cylinder-array", 1, 4, (32, 64), (8, 16), seed=7)
+    lf2, _ = generate_case(
+        "cylinder-array", 1, 4, (32, 64), (8, 16), seed=7, fixture_version=2
+    )
+
+    def high_k_energy(lf):
+        ky = np.fft.fftfreq(lf.shape[2])[:, None] / 0.5
+        kx = np.fft.rfftfreq(lf.shape[3])[None, :] / 0.5
+        mask = (ky * ky + kx * kx) > 0.6 * 0.6
+        spec = np.fft.rfft2(lf, axes=(2, 3))
+        return float((np.abs(spec[:, :, mask, :]) ** 2).mean())
+
+    e1, e2 = high_k_energy(lf1), high_k_energy(lf2)
+    # The static bias field re-injects a little smooth-noise energy, so
+    # "removed" = an order of magnitude below v1, not exactly zero.
+    assert e2 < 0.1 * e1, (e1, e2)
+
+
+def test_fixture_version_validation():
+    with pytest.raises(ValueError, match="fixture_version"):
+        generate_case("backward-step", 1, 2, (16, 16), (4, 4),
+                      fixture_version=3)
+
+
 def test_dataset_normalization_and_windows():
     lf, hf = generate_case("backward-step", 4, 16, (32, 64), (8, 16), seed=3)
     ds = TrajectoryDataset(lf, hf)

@@ -33,7 +33,7 @@ def test_bench_prints_one_json_line(monkeypatch, capsys):
     # Stub the heavy pieces: this test pins the OUTPUT CONTRACT, not
     # the measurement (bench runs for real on hardware every round).
     monkeypatch.setattr(
-        bench, "_build", lambda use_pallas: ("cfg", "vars", "rollout", "traj")
+        bench, "_build", lambda *a, **k: ("cfg", "vars", "rollout", "traj")
     )
     monkeypatch.setattr(
         bench, "_time_rollout", lambda *a, **k: 123.456
@@ -50,7 +50,7 @@ def test_bench_prints_one_json_line(monkeypatch, capsys):
     json_lines = [l for l in out if not l.startswith("#")]
     assert len(json_lines) == 1, out
     rec = json.loads(json_lines[0])
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert set(rec) >= {"metric", "value", "unit", "vs_baseline"}
     assert rec["metric"] == "rollout_steps_per_sec_chip_bstep64"
     assert rec["value"] == 123.456
     assert rec["vs_baseline"] == 1.0  # cpu backend: denominator = value
@@ -63,7 +63,7 @@ def test_bench_cpu_fallback_still_emits_json(monkeypatch, capsys):
     bench = _load("bench")
 
     monkeypatch.setattr(
-        bench, "_build", lambda use_pallas: ("cfg", "vars", "rollout", "traj")
+        bench, "_build", lambda *a, **k: ("cfg", "vars", "rollout", "traj")
     )
     monkeypatch.setattr(bench, "_time_rollout", lambda *a, **k: 0.25)
     monkeypatch.setattr(bench, "_accelerator_reachable", lambda: False)
@@ -79,7 +79,7 @@ def test_bench_cpu_fallback_still_emits_json(monkeypatch, capsys):
     json_lines = [l for l in out if not l.startswith("#")]
     assert len(json_lines) == 1, out
     rec = json.loads(json_lines[0])
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert set(rec) >= {"metric", "value", "unit", "vs_baseline"}
     assert "[CPU FALLBACK" in rec["unit"]
     assert rec["vs_baseline"] == 1.0
 

@@ -108,6 +108,34 @@ def test_inv1x1_logdet_after_perturbation():
     _check_logdet_vs_jacobian(f, x, ld)
 
 
+def test_coupling_conv_layouts_agree():
+    """The HWNC and NHWC coupling-net paths share one parameter tree
+    (checkpoint compatibility) and compute the same function — the
+    layout is a pure performance choice (flows/coupling.py)."""
+    x = _rand(jax.random.PRNGKey(8), (B, H, W, C))
+    cond = _rand(jax.random.PRNGKey(9), (B, H, W, COND_C))
+    kw = dict(width=8, layers=2, growth_rate=4, dtype=jnp.float32)
+    m_h = AffineCoupling(conv_layout="hwnc", **kw)
+    m_n = AffineCoupling(conv_layout="nhwc", **kw)
+    variables = m_h.init(jax.random.PRNGKey(10), x, cond)
+    # Identical param trees (shapes AND names).
+    v2 = m_n.init(jax.random.PRNGKey(10), x, cond)
+    assert jax.tree.map(jnp.shape, variables) == jax.tree.map(jnp.shape, v2)
+    # Perturb the zero-init head so the transform is nontrivial.
+    params = jax.tree.map(lambda a: a, variables["params"])
+    for name in list(params["net"]):
+        if name.startswith("joint_"):
+            kern = params["net"][name]["kernel"]
+            params["net"][name]["kernel"] = kern + 0.05 * jax.random.normal(
+                jax.random.PRNGKey(11), kern.shape
+            )
+    variables = {"params": params}
+    y_h, ld_h = m_h.apply(variables, x, cond)
+    y_n, ld_n = m_n.apply(variables, x, cond)
+    np.testing.assert_allclose(np.asarray(y_h), np.asarray(y_n), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ld_h), np.asarray(ld_n), atol=2e-4)
+
+
 @pytest.mark.parametrize("with_cond", [False, True])
 def test_coupling_roundtrip_logdet(with_cond):
     rng = jax.random.PRNGKey(8)

@@ -26,6 +26,7 @@ from tpuflow.eval.calibrate import (
     scale_members,
     scaled_interval_coverage,
 )
+from tpuflow.eval.baseline import lf_upsample, skill
 from tpuflow.eval.loading import load_eval_bundle
 from tpuflow.eval.plots import (
     plot_energy_spectrum,
@@ -105,12 +106,18 @@ def main(argv=None) -> dict:
     # TKE would reweight u/v fluctuations — stats.py contract).
     tke_errs, mean_errs, var_mean, vort_errs = [], [], [], []
     div_rms_pred, div_rms_ref = [], []
+    base_field_errs, base_tke_errs, base_vort_errs = [], [], []
     tke_pred_sum = tke_ref_sum = None
     vort_fig = None
     for i in range(ds.n_traj):
         mean = jnp.asarray(ds.denorm_hf(means[i]))
         var = jnp.asarray(ds.denorm_hf_var(vars_[i]))
         hf = jnp.asarray(ds.denorm_hf(ds.hf[i, :T]))
+        # Trivial-baseline comparator (eval/baseline.py): bicubic
+        # LF->HF upsampling scored on the identical metrics.
+        lf_up = lf_upsample(
+            jnp.asarray(ds.denorm_lf(ds.lf[i, :T])), cfg.model.hf_shape
+        )
         # Predicted turbulent fluctuation: pooled (time x ensemble)
         # variance vs the HF temporal variance (see stats.total_variance).
         tke_pred = tke_field(total_variance(mean, var))
@@ -118,6 +125,10 @@ def main(argv=None) -> dict:
         tke_errs.append(float(relative_l2(tke_pred, tke_ref)))
         mean_errs.append(float(relative_l2(mean, hf)))
         var_mean.append(float(var.mean()))
+        base_field_errs.append(float(relative_l2(lf_up, hf)))
+        base_tke_errs.append(
+            float(relative_l2(tke_field(lf_up.var(axis=0)), tke_ref))
+        )
         # Instantaneous vorticity of the ensemble-mean prediction vs HF
         # over the whole horizon (the reference's cylinder-array contour
         # comparison, arXiv:2006.04731 §4, as a scalar error norm).
@@ -126,6 +137,9 @@ def main(argv=None) -> dict:
         vort_pred = vorticity(mean, dx=dx, dy=dy)
         vort_ref = vorticity(hf, dx=dx, dy=dy)
         vort_errs.append(float(relative_l2(vort_pred, vort_ref)))
+        base_vort_errs.append(
+            float(relative_l2(vorticity(lf_up, dx=dx, dy=dy), vort_ref))
+        )
         # Incompressibility diagnostic: RMS divergence of the predicted
         # mean vs the HF reference's own RMS on the same grid/stencil
         # (neither is exactly solenoidal after grid interpolation — the
@@ -190,6 +204,12 @@ def main(argv=None) -> dict:
         spec_domain = (cfg.data.domain_y, cfg.data.domain_x)
         k_bins, e_pred = energy_spectrum(pred_fluct, spec_domain, taper=True)
         _, e_ref = energy_spectrum(ref_fluct, spec_domain, taper=True)
+        # Baseline fluctuation statistics on the same trajectory/horizon.
+        lf_up0 = lf_upsample(
+            jnp.asarray(ds.denorm_lf(ds.lf[0, :t_cal])), cfg.model.hf_shape
+        )
+        base_fluct = lf_up0[..., :2] - lf_up0[..., :2].mean(0, keepdims=True)
+        _, e_base = energy_spectrum(base_fluct, spec_domain, taper=True)
         plot_energy_spectrum(
             out_dir, np.asarray(k_bins), np.asarray(e_pred), np.asarray(e_ref)
         )
@@ -207,6 +227,9 @@ def main(argv=None) -> dict:
             pf, rf = pred_fluct[..., c], ref_fluct[..., c]
             ref_std = float(jnp.std(rf)) + 1e-12
             pdf_w1[f"pdf_w1_{name}"] = float(wasserstein1(pf, rf)) / ref_std
+            pdf_w1[f"baseline_pdf_w1_{name}"] = (
+                float(wasserstein1(base_fluct[..., c], rf)) / ref_std
+            )
             lo = float(min(pf.min(), rf.min()))
             hi = float(max(pf.max(), rf.max()))
             centers, dp = fluctuation_pdf(pf, lo=lo, hi=hi)
@@ -227,6 +250,9 @@ def main(argv=None) -> dict:
             },
             "spectrum_rel_l2": float(
                 relative_l2(jnp.log(e_pred[1:] + 1e-20), jnp.log(e_ref[1:] + 1e-20))
+            ),
+            "baseline_spectrum_rel_l2": float(
+                relative_l2(jnp.log(e_base[1:] + 1e-20), jnp.log(e_ref[1:] + 1e-20))
             ),
             "calibration_steps": t_cal,
         }
@@ -367,6 +393,20 @@ def main(argv=None) -> dict:
             np.mean(div_rms_pred) / (np.mean(div_rms_ref) + 1e-12)
         ),
         "ensemble_var_mean": float(np.mean(var_mean)),
+        # Trivial-baseline comparator (bicubic LF->HF upsampling on the
+        # identical metrics) + skill ratios (>1 = model beats baseline).
+        "baseline_field_rel_l2_mean": float(np.mean(base_field_errs)),
+        "baseline_tke_rel_l2_mean": float(np.mean(base_tke_errs)),
+        "baseline_vorticity_rel_l2_mean": float(np.mean(base_vort_errs)),
+        "field_skill_vs_baseline": skill(
+            np.mean(mean_errs), np.mean(base_field_errs)
+        ),
+        "tke_skill_vs_baseline": skill(
+            np.mean(tke_errs), np.mean(base_tke_errs)
+        ),
+        "vorticity_skill_vs_baseline": skill(
+            np.mean(vort_errs), np.mean(base_vort_errs)
+        ),
         # Per-trajectory breakouts: test trajectories differ in flow
         # parameters (Reynolds-number spread in the paper's datasets,
         # procedural parameters in the synthetic fixture), so the

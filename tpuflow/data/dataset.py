@@ -201,11 +201,13 @@ def load_dataset(
         lf, hf = generate_case(
             data_cfg.case, n, data_cfg.train_steps,
             model_cfg.hf_shape, model_cfg.lf_shape, seed=seed,
+            fixture_version=data_cfg.fixture_version,
         )
         if norm is None and split != "train":
             lf_tr, hf_tr = generate_case(
                 data_cfg.case, data_cfg.n_train_traj, data_cfg.train_steps,
                 model_cfg.hf_shape, model_cfg.lf_shape, seed=data_cfg.seed,
+                fixture_version=data_cfg.fixture_version,
             )
             norm = NormStats.from_data(lf_tr, hf_tr)
         return TrajectoryDataset(lf, hf, norm=norm)

@@ -36,6 +36,60 @@ import jax.numpy as jnp
 from tpuflow.kernels import coupling_apply
 
 
+def _to_hwnc(x: jax.Array) -> tuple[jax.Array, tuple[int, ...]]:
+    """(..., H, W, C) -> (H, W, N, C) with N = prod(leading dims)."""
+    *lead, h, w, c = x.shape
+    x = jnp.moveaxis(x, (-3, -2), (0, 1))  # (H, W, *lead, C)
+    return x.reshape(h, w, -1, c), tuple(lead)
+
+
+def _from_hwnc(y: jax.Array, lead: tuple[int, ...]) -> jax.Array:
+    h, w, _, c = y.shape
+    y = y.reshape(h, w, *lead, c)
+    return jnp.moveaxis(y, (0, 1), (-3, -2))
+
+
+class _HWNCConv(nn.Module):
+    """3x3 SAME conv on (H, W, N, C) operands with nn.Conv-compatible
+    parameters (kernel HWIO f32, bias (out,)) — swapping layouts never
+    touches checkpoints.
+
+    Why this exists (measured on v5e, 2026-08-19): the flow's small-
+    channel tensors (6-24 ch) make XLA lay activations out batch-minor
+    (batch in the 128 lanes; 64 members fill half of them), and that
+    layout propagates into the coupling-net convs, where XLA then picks
+    the OutputBatchInLanes conv emitter — 3.1x the cost-model cycles of
+    the emitter it picks for the same conv with channels minor
+    (653639 vs 210864 for scale0 joint_0). Feeding the convs (H, W, N,
+    C) logical operands puts channels back in lanes and batch in
+    sublanes; per-flow-step device time measured 627 -> 272 us in the
+    rollout-shaped scan context (.verify_layoutbench.py protocol).
+    """
+
+    features: int
+    use_bias: bool
+    dtype: Any
+    kernel_init: Any = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (3, 3, x.shape[-1], self.features), jnp.float32,
+        )
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(self.dtype), (1, 1), "SAME",
+            dimension_numbers=("HWNC", "HWIO", "HWNC"),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if self.use_bias:
+            b = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + b.astype(self.dtype)
+        return y
+
+
 class DenseBlockNet(nn.Module):
     """DenseNet-style conv stack in concat-free, output-fused form.
 
@@ -69,12 +123,32 @@ class DenseBlockNet(nn.Module):
     growth_rate: int = 32
     out_channels: int = 8
     dtype: Any = jnp.bfloat16
+    # "hwnc" (default): convs consume (H, W, N, C) logical operands so
+    # XLA keeps channels in lanes — measured 2.3x faster per flow step
+    # than "nhwc" in the rollout context (see _HWNCConv docstring).
+    # "nhwc": the plain flax path (A/B reference). Same parameters.
+    conv_layout: str = "hwnc"
 
     @nn.compact
     def __call__(self, x: jax.Array, cond: jax.Array | None = None) -> jax.Array:
         hp = jax.lax.Precision.HIGHEST
+        hwnc = self.conv_layout == "hwnc"
+        if hwnc:
+            x, lead = _to_hwnc(x)
+            if cond is not None:
+                # The K couplings of a scale transpose the SAME cond
+                # tensor — XLA CSE collapses them to one transpose.
+                cond, _ = _to_hwnc(cond)
+                # A batch-1 cond broadcast against member-batched x
+                # must stay batch-1 through its conv (cost / N).
 
         def conv(p, features, name, use_bias, kernel_init=None):
+            if hwnc:
+                kw = {"kernel_init": kernel_init} if kernel_init is not None else {}
+                return _HWNCConv(
+                    features=features, use_bias=use_bias, dtype=self.dtype,
+                    name=name, **kw,
+                )(p.astype(self.dtype))
             kw = {"kernel_init": kernel_init} if kernel_init is not None else {}
             return nn.Conv(
                 features, (3, 3), padding="SAME", dtype=self.dtype,
@@ -135,7 +209,8 @@ class DenseBlockNet(nn.Module):
             add_slices(y, tgt_ids)
             if j < L:
                 feats.append(nn.relu(acc[j]))
-        return acc[L]
+        out = acc[L]
+        return _from_hwnc(out, lead) if hwnc else out
 
 
 class AffineCoupling(nn.Module):
@@ -146,6 +221,7 @@ class AffineCoupling(nn.Module):
     growth_rate: int = 32
     dtype: Any = jnp.bfloat16
     use_pallas: bool = False
+    conv_layout: str = "hwnc"
 
     @nn.compact
     def __call__(
@@ -165,6 +241,7 @@ class AffineCoupling(nn.Module):
             growth_rate=self.growth_rate,
             out_channels=2 * ca,
             dtype=self.dtype,
+            conv_layout=self.conv_layout,
             name="net",
         )(xb, cond)
         raw, t = st[..., :ca], st[..., ca:]

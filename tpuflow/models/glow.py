@@ -40,6 +40,7 @@ class GlowStep(nn.Module):
     growth_rate: int = 32
     dtype: Any = jnp.bfloat16
     use_pallas: bool = False
+    conv_layout: str = "hwnc"
 
     def setup(self):
         self.actnorm = ActNorm()
@@ -50,6 +51,7 @@ class GlowStep(nn.Module):
             growth_rate=self.growth_rate,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            conv_layout=self.conv_layout,
         )
 
     def __call__(
@@ -89,6 +91,7 @@ class MultiScaleGlow(nn.Module):
     growth_rate: int = 32
     dtype: Any = jnp.bfloat16
     use_pallas: bool = False
+    conv_layout: str = "hwnc"
 
     def setup(self):
         steps = []
@@ -102,6 +105,7 @@ class MultiScaleGlow(nn.Module):
                         growth_rate=self.growth_rate,
                         dtype=self.dtype,
                         use_pallas=self.use_pallas,
+                        conv_layout=self.conv_layout,
                         name=f"scale{l}_step{k}",
                     )
                     for k in range(self.n_steps)

@@ -130,6 +130,7 @@ class TMGlow(nn.Module):
             growth_rate=cfg.growth_rate,
             dtype=dtype,
             use_pallas=cfg.use_pallas,
+            conv_layout=cfg.conv_layout,
             name="glow",
         )
 

@@ -84,12 +84,18 @@ def op_times_from_trace(trace_dir: str | pathlib.Path) -> list[dict]:
                     if smd is not None and smd.name in (
                         "hlo_category", "category", "tf_op",
                     ):
-                        if st.str_metadata_id:
-                            cat = stat_md[st.str_metadata_id].name
-                        elif st.HasField("str_value"):
+                        which = st.WhichOneof("value")
+                        if which == "str_value":
                             cat = st.str_value
+                        elif which == "ref_value":
+                            cat = stat_md[st.ref_value].name
                         if smd.name == "hlo_category":
                             break
+                if cat in ("while", "conditional", "call"):
+                    # Control-flow envelope events cover their children
+                    # (the scan body's ops are separate events) —
+                    # keeping them would double-count device time.
+                    continue
                 key = (name, cat)
                 r = rows.setdefault(
                     key,
