@@ -818,6 +818,58 @@ def test_inspect_data_handles_malformed_archives(tmp_path):
     assert not rec["ok"] and "empty" in rec["errors"][0]
 
 
+def test_inspect_data_import_alien_layout(tmp_path, capsys):
+    """--import ingests an archive with deliberately alien key names
+    and layouts (VERDICT r1 item 10): torch-style channel-first LF
+    under a nested h5 group, channels-last HF under an unrelated name,
+    plus decoy datasets — and writes a contract-conformant archive."""
+    import h5py
+    import numpy as np
+
+    from tpuflow.data import generate_case
+    from tpuflow.data.dataset import load_archive
+    from tpuflow.tools.inspect_data import import_alien, main
+
+    lf, hf = generate_case("backward-step", 2, 6, (32, 64), (8, 16), seed=11)
+    src = tmp_path / "zenodo_dump.h5"
+    with h5py.File(src, "w") as f:
+        g = f.create_group("solver/coarse_mesh")
+        # channel-first torch convention (N, T, C, h, w)
+        g.create_dataset("fields", data=np.moveaxis(lf, -1, 2))
+        f.create_dataset("dns_reference_run", data=hf)
+        f.create_dataset("time_values", data=np.arange(6.0))
+        f.create_dataset("README", data=np.bytes_(b"not an array"))
+        f.create_dataset("re_numbers", data=np.asarray([100.0, 200.0]))
+
+    out = tmp_path / "backward-step_train.h5"
+    rec = import_alien(src, out, n_scales=3)
+    assert rec["ok"], rec
+    assert rec["lf_key"] == "solver/coarse_mesh/fields"
+    assert rec["hf_key"] == "dns_reference_run"
+    assert "channel-first" in rec["lf_layout"]
+    lf2, hf2 = load_archive(out)
+    np.testing.assert_array_equal(lf2, lf)
+    np.testing.assert_array_equal(hf2, hf)
+
+    # CLI surface + printed decisions.
+    assert main(["--import", str(src), "--out", str(tmp_path / "o.npz")]) == 0
+    printed = capsys.readouterr().out
+    assert "lf <- solver/coarse_mesh/fields" in printed
+
+    # Single-trajectory 4-D arrays gain N=1.
+    src4 = tmp_path / "single.npz"
+    np.savez_compressed(src4, low_res=lf[0], high_res=hf[0])
+    rec4 = import_alien(src4, tmp_path / "o4.npz")
+    assert rec4["lf_shape"] == [1, 6, 8, 16, 3]
+
+    # No plausible pair -> a report-worthy error, not a stack trace.
+    bad = tmp_path / "bad.npz"
+    np.savez_compressed(bad, a=np.zeros(7), b=np.zeros((3, 3)))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="plausible trajectory arrays"):
+        import_alien(bad, tmp_path / "never.npz")
+
+
 def test_compare_runs_rejects_unknown_flags(tmp_path):
     import pytest as _pytest
 

@@ -11,6 +11,19 @@ training.
 Usage:
   python -m tpuflow.tools.inspect_data <archive.{h5|hdf5|npz|tpf}>
       [--n-scales=3] [--json]
+  python -m tpuflow.tools.inspect_data --import <alien.{h5|hdf5|npz}>
+      --out <case_split.{h5|npz|tpf}> [--json]
+
+``--import`` ingests an archive with UNKNOWN key names/layouts by
+heuristic matching (VERDICT r1 item 10: day-1 with a real archive
+should be a conversion, not a code change): it walks every dataset in
+the file, canonicalizes each plausible trajectory array to
+(N, T, H, W, C) — including torch-style channel-first layouts and
+single-trajectory 4-D arrays — then pairs the low/high-fidelity
+arrays by aligned (N, T, C) + grid refinement + name hints
+(lf/low/coarse vs hf/high/fine/dns), and writes a contract-conformant
+archive via save_archive. Every inference is printed so a wrong guess
+is visible before training on it.
 
 Checks (docs/DATA_FORMAT.md):
   - datasets lf/hf, 5-D (N, T, h, w, C), aligned (N, T), C == 3
@@ -133,6 +146,143 @@ def inspect_archive(path: str | pathlib.Path, n_scales: int = 3) -> dict:
     return rec
 
 
+_LF_HINTS = ("lf", "low", "coarse", "input", "lores", "cheap")
+_HF_HINTS = ("hf", "high", "fine", "target", "truth", "dns", "hires", "ref")
+_MAX_CHANNELS = 8  # trajectory fields carry a handful of channels (u,v,p,...)
+
+
+def _collect_datasets(path: pathlib.Path) -> dict[str, np.ndarray]:
+    """All array leaves in an .h5/.hdf5 (recursive) or .npz file."""
+    out: dict[str, np.ndarray] = {}
+    if path.suffix in (".h5", ".hdf5"):
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            def visit(name, obj):
+                if isinstance(obj, h5py.Dataset):
+                    out[name] = np.asarray(obj)
+            f.visititems(visit)
+    elif path.suffix == ".npz":
+        with np.load(path) as f:
+            out.update({k: f[k] for k in f.files})
+    else:
+        raise ValueError(f"--import reads .h5/.hdf5/.npz, got {path.suffix}")
+    return out
+
+
+def _canonicalize(a: np.ndarray) -> tuple[np.ndarray, str] | None:
+    """Best-effort mapping of an array onto (N, T, H, W, C).
+
+    Handles: 5-D channels-last (N,T,H,W,C); 5-D channel-first
+    (N,T,C,H,W) (torch convention); 4-D single-trajectory (T,H,W,C) or
+    (T,C,H,W) -> N=1. Returns (array, note) or None if the array can't
+    plausibly be a trajectory field stack.
+    """
+    if not np.issubdtype(a.dtype, np.number):
+        return None
+
+    def ch_last_ok(c, s1, s2):
+        # The channel axis is the small one: <= _MAX_CHANNELS and no
+        # larger than either spatial dim (grids can be as small as the
+        # channel budget, so <= not <).
+        return c <= _MAX_CHANNELS and c <= min(s1, s2)
+
+    if a.ndim == 4:
+        t, d1, d2, d3 = a.shape
+        if ch_last_ok(d3, d1, d2) and (not ch_last_ok(d1, d2, d3) or d3 <= d1):
+            return a[None], "4-D (T,H,W,C): added N=1"
+        if ch_last_ok(d1, d2, d3):
+            return np.moveaxis(a, 1, -1)[None], (
+                "4-D channel-first (T,C,H,W): moved C last, added N=1"
+            )
+        return None
+    if a.ndim == 5:
+        d2, d3, d4 = a.shape[2:]
+        if ch_last_ok(d4, d2, d3) and (not ch_last_ok(d2, d3, d4) or d4 <= d2):
+            return a, "5-D (N,T,H,W,C): as-is"
+        if ch_last_ok(d2, d3, d4):
+            return np.moveaxis(a, 2, -1), (
+                "5-D channel-first (N,T,C,H,W): moved C last"
+            )
+    return None
+
+
+def _name_score(name: str, hints: tuple[str, ...]) -> int:
+    low = name.lower()
+    return max((len(h) for h in hints if h in low), default=0)
+
+
+def import_alien(
+    src: str | pathlib.Path, out: str | pathlib.Path, n_scales: int = 3
+) -> dict:
+    """Heuristically ingest an unknown-layout archive; returns the
+    decision record (keys chosen, layout notes, final shapes)."""
+    from tpuflow.data.dataset import save_archive
+
+    src = pathlib.Path(src)
+    raw = _collect_datasets(src)
+    cands: dict[str, tuple[np.ndarray, str]] = {}
+    for name, a in raw.items():
+        c = _canonicalize(a)
+        if c is not None:
+            cands[name] = c
+    if len(cands) < 2:
+        raise ValueError(
+            f"{src}: found {len(cands)} plausible trajectory arrays "
+            f"(need an LF/HF pair); datasets seen: "
+            f"{ {k: list(v.shape) for k, v in raw.items()} }"
+        )
+
+    # Pair candidates: aligned (N, T, C), HF grid strictly finer; rank
+    # by name hints, then by grid refinement ratio.
+    best = None
+    names = sorted(cands)
+    for i in names:
+        for j in names:
+            if i == j:
+                continue
+            a, _ = cands[i]  # lf candidate
+            b, _ = cands[j]  # hf candidate
+            if a.shape[:2] != b.shape[:2] or a.shape[-1] != b.shape[-1]:
+                continue
+            if not (b.shape[2] > a.shape[2] and b.shape[3] > a.shape[3]):
+                continue
+            ratio = (b.shape[2] / a.shape[2]) * (b.shape[3] / a.shape[3])
+            score = (
+                _name_score(i, _LF_HINTS) + _name_score(j, _HF_HINTS),
+                ratio,
+            )
+            if best is None or score > best[0]:
+                best = (score, i, j)
+    if best is None:
+        raise ValueError(
+            f"{src}: no (LF, HF) pair with aligned (N, T, C) and a finer "
+            f"HF grid among candidates "
+            f"{ {k: list(v[0].shape) for k, v in cands.items()} }"
+        )
+    _, lf_key, hf_key = best
+    lf, lf_note = cands[lf_key]
+    hf, hf_note = cands[hf_key]
+
+    out = pathlib.Path(out)
+    save_archive(out, lf.astype(np.float32), hf.astype(np.float32))
+    rec = {
+        "source": str(src),
+        "out": str(out),
+        "lf_key": lf_key,
+        "hf_key": hf_key,
+        "lf_layout": lf_note,
+        "hf_layout": hf_note,
+        "lf_shape": list(lf.shape),
+        "hf_shape": list(hf.shape),
+        "skipped_keys": sorted(set(raw) - {lf_key, hf_key}),
+    }
+    # Validate the written archive against the normal contract.
+    rec["inspection"] = inspect_archive(out, n_scales=n_scales)
+    rec["ok"] = rec["inspection"]["ok"]
+    return rec
+
+
 def _fmt(rec: dict) -> str:
     lines = [f"archive: {rec['path']}"]
     lines.append(
@@ -164,15 +314,48 @@ def _fmt(rec: dict) -> str:
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     n_scales, as_json, paths = 3, False, []
-    for a in argv:
+    import_src, out_path = None, None
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--n-scales="):
             n_scales = int(a.split("=", 1)[1])
         elif a == "--json":
             as_json = True
+        elif a == "--import":
+            i += 1
+            import_src = argv[i]
+        elif a.startswith("--import="):
+            import_src = a.split("=", 1)[1]
+        elif a == "--out":
+            i += 1
+            out_path = argv[i]
+        elif a.startswith("--out="):
+            out_path = a.split("=", 1)[1]
         elif a.startswith("--"):
             raise SystemExit(f"unknown flag {a}")
         else:
             paths.append(a)
+        i += 1
+
+    if import_src is not None:
+        if out_path is None:
+            raise SystemExit("--import requires --out <archive path>")
+        rec = import_alien(import_src, out_path, n_scales=n_scales)
+        if as_json:
+            print(json.dumps(rec))
+        else:
+            print(
+                f"imported {rec['source']} -> {rec['out']}\n"
+                f"  lf <- {rec['lf_key']}  ({rec['lf_layout']}) "
+                f"{tuple(rec['lf_shape'])}\n"
+                f"  hf <- {rec['hf_key']}  ({rec['hf_layout']}) "
+                f"{tuple(rec['hf_shape'])}\n"
+                f"  skipped: {rec['skipped_keys']}\n"
+                + _fmt(rec["inspection"])
+            )
+        return 0 if rec["ok"] else 1
+
     if not paths:
         print(__doc__)
         return 2
