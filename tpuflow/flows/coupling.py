@@ -8,9 +8,22 @@ half. logdet = sum log s. The final conv is zero-initialized so each
 coupling starts at the identity (Glow training stability trick).
 
 TPU-first: the coupling CNN runs in ``compute_dtype`` (bfloat16 on TPU)
-— its convs are the model's FLOPs hot spot (SURVEY.md §3.1) and land on
-the MXU. The affine apply is always float32 via the fused kernel
-dispatcher (:func:`tpuflow.kernels.coupling_apply`).
+— its convs are the model's FLOPs hot spot (SURVEY.md §3.1). THREE
+compute paths share ONE parameter declaration (checkpoints are
+identical across paths):
+
+  * fused (``use_pallas=True`` on TPU): the whole coupling — net convs
+    as im2col matmuls + affine apply + logdet — runs in one Pallas
+    kernel (tpuflow/kernels/coupling_fused.py). This is the r1-VERDICT
+    throughput lever: XLA's conv emitters cap at ~22% MXU here
+    (C_in=64 fills half the 128 contraction rows) and the flow's
+    small-channel tensors anchor batch-minor layouts that either hit a
+    3.1x-costlier emitter (nhwc) or need per-coupling transpose copies
+    (hwnc — 68% of r1 rollout device time was async-copy).
+  * "hwnc" (XLA default): convs see (H, W, N, C) logical operands,
+    keeping channels in the 128 MXU lanes (measured 2.3x/flow-step
+    over nhwc on v5e).
+  * "nhwc": the plain XLA path (A/B reference).
 
 Numerics of invertibility (measured on real TPU): in the reverse pass
 the net input carries the reconstruction error of *later* layers, and
@@ -34,6 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from tpuflow.kernels import coupling_apply
+from tpuflow.kernels.coupling_fused import fused_available, fused_coupling
 
 
 def _to_hwnc(x: jax.Array) -> tuple[jax.Array, tuple[int, ...]]:
@@ -49,45 +63,29 @@ def _from_hwnc(y: jax.Array, lead: tuple[int, ...]) -> jax.Array:
     return jnp.moveaxis(y, (0, 1), (-3, -2))
 
 
-class _HWNCConv(nn.Module):
-    """3x3 SAME conv on (H, W, N, C) operands with nn.Conv-compatible
-    parameters (kernel HWIO f32, bias (out,)) — swapping layouts never
-    touches checkpoints.
+class _Conv3x3Params(nn.Module):
+    """Parameter holder with nn.Conv's exact tree (kernel HWIO f32,
+    optional bias (out,)) — one declaration serves every compute path,
+    so switching paths never touches checkpoints."""
 
-    Why this exists (measured on v5e, 2026-08-19): the flow's small-
-    channel tensors (6-24 ch) make XLA lay activations out batch-minor
-    (batch in the 128 lanes; 64 members fill half of them), and that
-    layout propagates into the coupling-net convs, where XLA then picks
-    the OutputBatchInLanes conv emitter — 3.1x the cost-model cycles of
-    the emitter it picks for the same conv with channels minor
-    (653639 vs 210864 for scale0 joint_0). Feeding the convs (H, W, N,
-    C) logical operands puts channels back in lanes and batch in
-    sublanes; per-flow-step device time measured 627 -> 272 us in the
-    rollout-shaped scan context (.verify_layoutbench.py protocol).
-    """
-
+    in_features: int
     features: int
     use_bias: bool
-    dtype: Any
     kernel_init: Any = nn.initializers.lecun_normal()
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self) -> tuple[jax.Array, jax.Array | None]:
         kernel = self.param(
             "kernel", self.kernel_init,
-            (3, 3, x.shape[-1], self.features), jnp.float32,
+            (3, 3, self.in_features, self.features), jnp.float32,
         )
-        y = jax.lax.conv_general_dilated(
-            x, kernel.astype(self.dtype), (1, 1), "SAME",
-            dimension_numbers=("HWNC", "HWIO", "HWNC"),
-            precision=jax.lax.Precision.HIGHEST,
+        bias = (
+            self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+            if self.use_bias
+            else None
         )
-        if self.use_bias:
-            b = self.param(
-                "bias", nn.initializers.zeros, (self.features,), jnp.float32
-            )
-            y = y + b.astype(self.dtype)
-        return y
+        return kernel, bias
 
 
 class DenseBlockNet(nn.Module):
@@ -116,6 +114,11 @@ class DenseBlockNet(nn.Module):
     are zero-init (each coupling starts at identity — Glow training
     stability). Exactly one bias per target (carried by source 0's
     conv).
+
+    ``fused_affine``: when set to ``(xa, reverse)``, the whole coupling
+    (net + affine + logdet) is dispatched to the fused Pallas kernel
+    and the return value is ``(y, logdet)`` instead of the net output.
+    Parameters are identical either way.
     """
 
     width: int = 64
@@ -125,63 +128,22 @@ class DenseBlockNet(nn.Module):
     dtype: Any = jnp.bfloat16
     # "hwnc" (default): convs consume (H, W, N, C) logical operands so
     # XLA keeps channels in lanes — measured 2.3x faster per flow step
-    # than "nhwc" in the rollout context (see _HWNCConv docstring).
-    # "nhwc": the plain flax path (A/B reference). Same parameters.
+    # than "nhwc" in the rollout context. "nhwc": the plain XLA path
+    # (A/B reference). Same parameters. Ignored by the fused path.
     conv_layout: str = "hwnc"
 
     @nn.compact
-    def __call__(self, x: jax.Array, cond: jax.Array | None = None) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        cond: jax.Array | None = None,
+        *,
+        fused_affine: tuple[jax.Array, bool] | None = None,
+    ):
         hp = jax.lax.Precision.HIGHEST
-        hwnc = self.conv_layout == "hwnc"
-        if hwnc:
-            x, lead = _to_hwnc(x)
-            if cond is not None:
-                # The K couplings of a scale transpose the SAME cond
-                # tensor — XLA CSE collapses them to one transpose.
-                cond, _ = _to_hwnc(cond)
-                # A batch-1 cond broadcast against member-batched x
-                # must stay batch-1 through its conv (cost / N).
-
-        def conv(p, features, name, use_bias, kernel_init=None):
-            if hwnc:
-                kw = {"kernel_init": kernel_init} if kernel_init is not None else {}
-                return _HWNCConv(
-                    features=features, use_bias=use_bias, dtype=self.dtype,
-                    name=name, **kw,
-                )(p.astype(self.dtype))
-            kw = {"kernel_init": kernel_init} if kernel_init is not None else {}
-            return nn.Conv(
-                features, (3, 3), padding="SAME", dtype=self.dtype,
-                param_dtype=jnp.float32, precision=hp,
-                use_bias=use_bias, bias_init=nn.initializers.zeros,
-                name=name, **kw,
-            )(p.astype(self.dtype))
-
-        # conv_in: summed per-source (x [, cond]); a batch-1 cond
-        # source stays batch-1 through its conv (cost / ensemble_size).
-        h0 = conv(x, self.width, "conv_in_0", use_bias=True)
-        if cond is not None:
-            h0 = h0 + conv(cond, self.width, "conv_in_1", use_bias=False)
-        feats = [nn.relu(h0)]
-
-        # Joint per-source convs: source j emits, in ONE conv, its
-        # contribution to every later target (growth layers j..L-1 and
-        # the output head). Rationale, measured on v5e: a 3x3 conv at
-        # these shapes costs ~the same for any out-channel count up to
-        # a lane tile, so emitting [32, 32, 32, 12] as one 108-channel
-        # conv instead of four is ~2.9x faster (and fills MXU lanes
-        # that 12/32-channel outputs leave 75-90% idle). Function class
-        # is identical to per-target convs (kernel = column blocks).
+        cb = x.shape[-1]
         L = self.layers
         tgt_widths = [self.growth_rate] * L + [self.out_channels]
-        acc: list = [None] * (L + 1)
-
-        def add_slices(y, tgt_ids):
-            off = 0
-            for t in tgt_ids:
-                sl = y[..., off : off + tgt_widths[t]]
-                off += tgt_widths[t]
-                acc[t] = sl if acc[t] is None else acc[t] + sl
 
         def joint_init(tgt_ids):
             # Output-head columns zero (each coupling starts at the
@@ -199,14 +161,95 @@ class DenseBlockNet(nn.Module):
 
             return init
 
+        # --- one parameter declaration for every compute path ---
+        k_in0, b_in0 = _Conv3x3Params(
+            in_features=cb, features=self.width, use_bias=True,
+            name="conv_in_0",
+        )()
+        k_in1 = None
+        if cond is not None:
+            k_in1, _ = _Conv3x3Params(
+                in_features=cond.shape[-1], features=self.width,
+                use_bias=False, name="conv_in_1",
+            )()
+        joints: list[tuple[jax.Array, jax.Array | None]] = []
         for j in range(L + 1):
             tgt_ids = list(range(j, L + 1))
             total = sum(tgt_widths[t] for t in tgt_ids)
-            y = conv(
-                feats[j], total, f"joint_{j}", use_bias=(j == 0),
-                kernel_init=joint_init(tgt_ids),
+            cin = self.width if j == 0 else self.growth_rate
+            joints.append(
+                _Conv3x3Params(
+                    in_features=cin, features=total, use_bias=(j == 0),
+                    kernel_init=joint_init(tgt_ids), name=f"joint_{j}",
+                )()
             )
-            add_slices(y, tgt_ids)
+
+        # --- fused path: whole coupling in one Pallas kernel ---
+        if fused_affine is not None:
+            xa, reverse = fused_affine
+            h0c = None
+            if cond is not None:
+                c4 = cond.reshape(-1, *cond.shape[-3:])
+                h0c = jax.lax.conv_general_dilated(
+                    c4.astype(self.dtype), k_in1.astype(self.dtype),
+                    (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    precision=hp,
+                )
+            return fused_coupling(
+                xa, x, h0c,
+                k_in0.reshape(9 * cb, self.width), b_in0,
+                tuple(kj.reshape(kj.shape[0] * kj.shape[1] * kj.shape[2], -1)
+                      for kj, _ in joints),
+                joints[0][1],
+                width=self.width, growth=self.growth_rate, layers=L,
+                net_dtype=self.dtype, reverse=reverse,
+            )
+
+        # --- XLA paths (hwnc / nhwc), shared parameters ---
+        hwnc = self.conv_layout == "hwnc"
+        if hwnc:
+            x, lead = _to_hwnc(x)
+            if cond is not None:
+                # The K couplings of a scale transpose the SAME cond
+                # tensor — XLA CSE collapses them to one transpose.
+                cond, _ = _to_hwnc(cond)
+                # A batch-1 cond broadcast against member-batched x
+                # must stay batch-1 through its conv (cost / N).
+
+        dims = ("HWNC", "HWIO", "HWNC") if hwnc else ("NHWC", "HWIO", "NHWC")
+
+        def conv(p, kernel, bias):
+            y = jax.lax.conv_general_dilated(
+                p.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
+                "SAME", dimension_numbers=dims, precision=hp,
+            )
+            if bias is not None:
+                y = y + bias.astype(self.dtype)
+            return y
+
+        # conv_in: summed per-source (x [, cond]); a batch-1 cond
+        # source stays batch-1 through its conv (cost / ensemble_size).
+        h0 = conv(x, k_in0, b_in0)
+        if cond is not None:
+            h0 = h0 + conv(cond, k_in1, None)
+        feats = [nn.relu(h0)]
+
+        # Joint per-source convs: source j emits, in ONE conv, its
+        # contribution to every later target (growth layers j..L-1 and
+        # the output head); see class docstring.
+        acc: list = [None] * (L + 1)
+
+        def add_slices(y, tgt_ids):
+            off = 0
+            for t in tgt_ids:
+                sl = y[..., off : off + tgt_widths[t]]
+                off += tgt_widths[t]
+                acc[t] = sl if acc[t] is None else acc[t] + sl
+
+        for j in range(L + 1):
+            kj, bj = joints[j]
+            add_slices(conv(feats[j], kj, bj), list(range(j, L + 1)))
             if j < L:
                 feats.append(nn.relu(acc[j]))
         out = acc[L]
@@ -214,7 +257,11 @@ class DenseBlockNet(nn.Module):
 
 
 class AffineCoupling(nn.Module):
-    """y_a = (x_a + t) * sigmoid(raw + 2),  (raw, t) = Net([x_b, cond])."""
+    """y_a = (x_a + t) * sigmoid(raw + 2),  (raw, t) = Net([x_b, cond]).
+
+    ``use_pallas=True`` routes the whole coupling through the fused
+    Pallas kernel on TPU (falls back to the XLA path elsewhere).
+    """
 
     width: int = 64
     layers: int = 3
@@ -235,7 +282,7 @@ class AffineCoupling(nn.Module):
         ca = c // 2
         xa, xb = x[..., :ca], x[..., ca:]
 
-        st = DenseBlockNet(
+        net = DenseBlockNet(
             width=self.width,
             layers=self.layers,
             growth_rate=self.growth_rate,
@@ -243,11 +290,14 @@ class AffineCoupling(nn.Module):
             dtype=self.dtype,
             conv_layout=self.conv_layout,
             name="net",
-        )(xb, cond)
+        )
+
+        if self.use_pallas and fused_available():
+            return net(xb, cond, fused_affine=(xa, reverse))
+
+        st = net(xb, cond)
         raw, t = st[..., :ca], st[..., ca:]
 
-        ya, logdet = coupling_apply(
-            xa, raw, t, reverse=reverse, use_pallas=self.use_pallas
-        )
+        ya, logdet = coupling_apply(xa, raw, t, reverse=reverse)
         y = jnp.concatenate([ya, xb.astype(ya.dtype)], axis=-1)
         return y, logdet
