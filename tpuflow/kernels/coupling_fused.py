@@ -107,9 +107,11 @@ def _kernel(
     m = tm * h * w
     tgt_widths = [growth] * L + [2 * ca]
 
-    # f32 matmuls need full precision (the <1e-4 invertibility gate);
-    # bf16 operands are unaffected.
-    hp = jax.lax.Precision.HIGHEST
+    # f32 matmuls need full precision (the <1e-4 invertibility gate).
+    # Mosaic rejects an explicit fp32 contract precision on bf16
+    # operands, so only pin it for f32 (bf16 already accumulates f32
+    # via preferred_element_type).
+    hp = jax.lax.Precision.HIGHEST if nd == jnp.float32 else None
 
     # Zero once: the 1-px border is the SAME-conv zero padding; the
     # interior is overwritten before every read.
@@ -179,10 +181,13 @@ def _kernel(
     y_ref[:, :, :, :ca] = ya.reshape(tm, h, w, ca)
     y_ref[:, :, :, ca:] = xb_val.astype(jnp.float32).reshape(tm, h, w, cb)
 
-    ld = jnp.sum(log_s.reshape(tm, h * w * ca), axis=1, keepdims=True)
+    # Lane-preserving reduction (Mosaic rejects reshapes that fold the
+    # lane dim): sum lanes first, then split the sublane dim by member.
+    row_sums = jnp.sum(log_s, axis=1, keepdims=True)  # (M, 1)
+    ld = jnp.sum(row_sums.reshape(tm, h * w, 1), axis=1)  # (tm, 1)
     if reverse:
         ld = -ld
-    ld_ref[...] = jnp.broadcast_to(ld, ld_ref.shape)
+    ld_ref[...] = jnp.broadcast_to(ld.reshape(1, tm, 1), ld_ref.shape)
 
 
 def _fused_pallas(xa, xb, h0c, win0, b0, wjs, bj0, cfg: dict):
@@ -217,9 +222,14 @@ def _fused_pallas(xa, xb, h0c, win0, b0, wjs, bj0, cfg: dict):
         *[full(*wj.shape) for wj in wjs],
         full(*bj0.shape),
     ]
+    # ld block keeps the member tile in its OWN trailing dims (1, TM,
+    # LANE) so the block always equals the array's last two dims —
+    # Mosaic requires trailing block dims divisible by (8, 128) or
+    # full, and TM is free to be any divisor of B.
     out_specs = (
         pl.BlockSpec((tm, h, w, ca + cb), tile, memory_space=pltpu.VMEM),
-        pl.BlockSpec((tm, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tm, LANE), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
     )
     y, ld = pl.pallas_call(
         functools.partial(_kernel, cfg=cfg),
@@ -228,7 +238,7 @@ def _fused_pallas(xa, xb, h0c, win0, b0, wjs, bj0, cfg: dict):
         out_specs=out_specs,
         out_shape=(
             jax.ShapeDtypeStruct((b, h, w, ca + cb), jnp.float32),
-            jax.ShapeDtypeStruct((b, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((b // tm, tm, LANE), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((tm, h + 2, w + 2, pc), nd),
@@ -236,7 +246,7 @@ def _fused_pallas(xa, xb, h0c, win0, b0, wjs, bj0, cfg: dict):
         ],
         interpret=INTERPRET,
     )(xa, xb, h0c, win0, b0, *wjs, bj0)
-    return y, ld[:, 0]
+    return y, ld.reshape(b, LANE)[:, 0]
 
 
 def xla_reference(xa, xb, h0c, win0, b0, wjs, bj0, cfg: dict):
