@@ -1,0 +1,95 @@
+"""Regression pins for the committed converged-run evidence.
+
+Round-2 convergence demonstration (VERDICT r1 "what's missing" #2):
+backward-step flagship config, fixture v2 (LF temporal phase error +
+spectral truncation), 400 epochs on a real v5e chip via
+tools/supervise_train (exit 0, no restarts), evaluated with
+cli/evaluate at 64 members / 64 steps. The artifacts live under
+``runs/r2_converge/`` and are committed; these tests re-assert the
+headline numbers so a regression in metric definitions, eval plumbing,
+or artifact hygiene is caught without re-training.
+
+The pins are BOUNDS (not exact equality): the committed JSON is the
+fixed artifact being validated; bounds document what "converged and
+skilful" means so a future re-run can be compared meaningfully.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import pathlib
+
+import pytest
+
+RUN = pathlib.Path(__file__).resolve().parent.parent / "runs" / "r2_converge"
+METRICS = RUN / "eval" / "backward-step" / "eval_metrics.json"
+
+
+@pytest.fixture(scope="module")
+def metrics() -> dict:
+    if not METRICS.exists():
+        pytest.skip("converged-run artifacts not present")
+    return json.loads(METRICS.read_text())
+
+
+def test_converged_nll(metrics):
+    # Training plateaued below -8 bits/dim (val curve: -8.60 at epoch
+    # 400, within noise of epochs 380-400); an untrained model scores
+    # around +0.5.
+    assert metrics["test_bpd"] < -8.0
+    # NLL did not blow up late in the rollout either.
+    assert metrics["test_bpd_last_step"] < -8.0
+
+
+def test_model_beats_lf_baseline(metrics):
+    # The multi-fidelity premise (arXiv:2006.04731 §1-2): the trained
+    # model must beat bicubic LF upsampling on the same metric set.
+    # Fixture v2's LF carries growing phase error, which bicubic cannot
+    # correct — the model's field error stays less than HALF the
+    # baseline's.
+    assert metrics["field_skill_vs_baseline"] > 1.5
+    assert metrics["vorticity_skill_vs_baseline"] > 1.5
+    # Spectrum: model within 10% log rel-L2, baseline ~0.26 (spectral
+    # truncation in the LF is unrecoverable by interpolation).
+    assert metrics["spectrum_rel_l2"] < 0.15
+    assert metrics["spectrum_rel_l2"] < metrics["baseline_spectrum_rel_l2"]
+
+
+def test_field_errors(metrics):
+    assert metrics["field_rel_l2_mean"] < 0.2
+    assert metrics["vorticity_rel_l2_mean"] < 0.25
+    # Incompressibility: predicted divergence RMS tracks the HF
+    # reference's discretization level (ratio ~1, not 10x).
+    assert 0.8 < metrics["divergence_rms_ratio"] < 1.25
+
+
+def test_recalibrated_coverage(metrics):
+    # Post-hoc recalibration (eval/calibrate.py) fitted on the
+    # calibration split, evaluated on held-out steps: empirical
+    # coverage within 0.06 of nominal at every level.
+    cov = metrics["coverage_holdout_recalibrated"]
+    for level, got in cov.items():
+        assert abs(float(level) - got) < 0.06, (level, got)
+    # And recalibration must not hurt CRPS.
+    assert metrics["crps_holdout_recalibrated"] <= (
+        metrics["crps_holdout_raw"] * 1.05
+    )
+
+
+def test_training_curve_plateaued():
+    val_log = RUN / "checkpoints" / "backward-step" / "val_log.csv"
+    if not val_log.exists():
+        pytest.skip("converged-run artifacts not present")
+    rows = list(csv.DictReader(val_log.open()))
+    assert len(rows) >= 20
+    bpds = [float(r["val_bpd"]) for r in rows]
+    # Converged: the final point is within 5% of the best, and the
+    # last 10% of training recovered < 10% of the total drop (the
+    # curve flattened; an earlier plateau at ~-7.4 broke again when
+    # the lr decayed, so the midpoint is NOT flat — only the tail is).
+    best = min(bpds)
+    total_drop = bpds[0] - best
+    tail_drop = bpds[int(len(bpds) * 0.9)] - best
+    assert bpds[-1] <= best + 0.05 * abs(best)
+    assert tail_drop < 0.10 * total_drop
