@@ -57,6 +57,14 @@ class ModelConfig:
     # XLA picks a 3.1x-costlier conv emitter (see flows/coupling.py
     # _HWNCConv). "nhwc" = plain flax path, same parameters/checkpoints.
     conv_layout: str = "hwnc"
+    # Layout of EVERY flow-path tensor (x, latents, conds, ConvLSTM
+    # state) — flows/layout.py. "hwnc": the whole flow lives in
+    # (H, W, N, C) so the hot loops contain no layout transposes at
+    # all; round-1 profiling showed the per-coupling hwnc<->nhwc
+    # transposes cost ~300 async copies per rollout step (68% of
+    # device time). "nhwc": reference-shaped (N, H, W, C) everywhere.
+    # Parameters/checkpoints are identical across layouts.
+    flow_layout: str = "nhwc"
     # Route the coupling affine+logdet through the Pallas kernel (TPU
     # only). Default False by measurement: after the concat-free net
     # restructure, XLA's own fusion beats the custom call by ~6%
@@ -75,6 +83,22 @@ class ModelConfig:
         if self.conv_layout not in ("hwnc", "nhwc"):
             raise ValueError(
                 f"conv_layout must be 'hwnc' or 'nhwc', got {self.conv_layout!r}"
+            )
+        if self.flow_layout not in ("hwnc", "nhwc"):
+            raise ValueError(
+                f"flow_layout must be 'hwnc' or 'nhwc', got {self.flow_layout!r}"
+            )
+        if self.flow_layout == "hwnc" and self.conv_layout != "hwnc":
+            raise ValueError(
+                "flow_layout='hwnc' requires conv_layout='hwnc' (an "
+                "nhwc coupling-compute layout would reintroduce the "
+                "per-coupling transposes hwnc flow layout removes)"
+            )
+        if self.flow_layout == "hwnc" and self.use_pallas:
+            raise ValueError(
+                "use_pallas (fused coupling kernel) currently requires "
+                "flow_layout='nhwc' — the kernel consumes member-major "
+                "tiles"
             )
 
 

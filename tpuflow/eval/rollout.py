@@ -75,10 +75,16 @@ def make_ensemble_rollout(
     if collect not in ("stats", "fields"):
         raise ValueError(f"collect must be 'stats' or 'fields', got {collect!r}")
     cfg = model.cfg
+    hwnc = cfg.flow_layout == "hwnc"
+    # Member (ensemble) axis of flow tensors/states: 0 under nhwc,
+    # -2 under hwnc (flows/layout.py member_axis).
+    m_ax = -2 if hwnc else 0
     if mesh is not None:
         from tpuflow.train.mesh import ensemble_sharding
 
-        member_sharding = ensemble_sharding(mesh)
+        member_sharding = ensemble_sharding(
+            mesh, member_axis=2 if hwnc else 0
+        )
 
     def rollout(variables, lf_traj, rng, temperature=temperature):
         # temperature is a runtime (traced) argument so sweeps over tau
@@ -98,11 +104,16 @@ def make_ensemble_rollout(
             x, states = model.apply(
                 variables, feats_t, states, sub, temperature, inv_caches,
                 method=TMGlow.sample_from_feats,
-            )  # x: (N, H, W, C)
+            )  # x: internal flow layout ((N,H,W,C) nhwc / (H,W,N,C) hwnc)
             if collect == "fields":
-                out = x
+                # Per-step member-major normalization: ONE transpose per
+                # step (hwnc) instead of ~2 per bijector.
+                out = jnp.moveaxis(x, 2, 0) if hwnc else x
             else:
-                out = (jnp.mean(x, axis=0), jnp.var(x, axis=0))
+                # Ensemble stats reduce over the member axis directly —
+                # under hwnc mean/var of (H,W,N,C) over N gives the
+                # same (H,W,C) per-step fields with NO transpose.
+                out = (jnp.mean(x, axis=m_ax), jnp.var(x, axis=m_ax))
             return (states, key), out
 
         (_, _), ys = jax.lax.scan(step, (states, rng), feats_traj)

@@ -21,15 +21,20 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from tpuflow.flows.layout import batch_shape, spatial_hw
+
 
 class ActNorm(nn.Module):
     """Invertible per-channel affine: y = (x + bias) * exp(log_scale).
 
     Forward returns (y, logdet) with logdet shaped like the batch axes;
-    reverse returns (x, -logdet).
+    reverse returns (x, -logdet). ``layout`` names the flow-tensor
+    layout (flows/layout.py); the data-dependent init statistics reduce
+    over all non-channel axes, so parameters are layout-independent.
     """
 
     eps: float = 1e-6
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(
@@ -55,9 +60,9 @@ class ActNorm(nn.Module):
         bias = self.param("bias", bias_init, (c,))
         log_scale = self.param("log_scale", log_scale_init, (c,))
 
-        h, w = x.shape[-3], x.shape[-2]
+        h, w = spatial_hw(x, self.layout)
         logdet = jnp.broadcast_to(
-            h * w * jnp.sum(log_scale), x.shape[:-3]
+            h * w * jnp.sum(log_scale), batch_shape(x, self.layout)
         ).astype(jnp.float32)
 
         x32 = x.astype(jnp.float32)

@@ -46,6 +46,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from tpuflow.flows.layout import check_layout
 from tpuflow.kernels import coupling_apply
 from tpuflow.kernels.coupling_fused import fused_available, fused_coupling
 
@@ -131,6 +132,12 @@ class DenseBlockNet(nn.Module):
     # than "nhwc" in the rollout context. "nhwc": the plain XLA path
     # (A/B reference). Same parameters. Ignored by the fused path.
     conv_layout: str = "hwnc"
+    # Layout of the tensors as GIVEN ("nhwc" classic, "hwnc" when the
+    # whole flow path is hwnc-native — flows/layout.py). When io and
+    # compute layout agree, NO boundary transposes are emitted: this is
+    # the r2 fix for the ~300 async copies/step that per-coupling
+    # transposing cost (68% of profiled rollout device time).
+    io_layout: str = "nhwc"
 
     @nn.compact
     def __call__(
@@ -207,8 +214,16 @@ class DenseBlockNet(nn.Module):
             )
 
         # --- XLA paths (hwnc / nhwc), shared parameters ---
+        io_hwnc = check_layout(self.io_layout) == "hwnc"
         hwnc = self.conv_layout == "hwnc"
-        if hwnc:
+        if io_hwnc and not hwnc:
+            raise ValueError(
+                "io_layout='hwnc' requires conv_layout='hwnc' — an "
+                "hwnc-native flow with nhwc coupling compute would "
+                "reintroduce the per-coupling transposes this layout "
+                "exists to remove"
+            )
+        if hwnc and not io_hwnc:
             x, lead = _to_hwnc(x)
             if cond is not None:
                 # The K couplings of a scale transpose the SAME cond
@@ -253,7 +268,7 @@ class DenseBlockNet(nn.Module):
             if j < L:
                 feats.append(nn.relu(acc[j]))
         out = acc[L]
-        return _from_hwnc(out, lead) if hwnc else out
+        return _from_hwnc(out, lead) if (hwnc and not io_hwnc) else out
 
 
 class AffineCoupling(nn.Module):
@@ -269,6 +284,7 @@ class AffineCoupling(nn.Module):
     dtype: Any = jnp.bfloat16
     use_pallas: bool = False
     conv_layout: str = "hwnc"
+    io_layout: str = "nhwc"
 
     @nn.compact
     def __call__(
@@ -289,15 +305,22 @@ class AffineCoupling(nn.Module):
             out_channels=2 * ca,
             dtype=self.dtype,
             conv_layout=self.conv_layout,
+            io_layout=self.io_layout,
             name="net",
         )
 
         if self.use_pallas and fused_available():
+            if self.io_layout == "hwnc":
+                # The fused kernel consumes member-major tiles; blocked
+                # upstream by ModelConfig validation.
+                raise ValueError("use_pallas requires flow_layout='nhwc'")
             return net(xb, cond, fused_affine=(xa, reverse))
 
         st = net(xb, cond)
         raw, t = st[..., :ca], st[..., ca:]
 
-        ya, logdet = coupling_apply(xa, raw, t, reverse=reverse)
+        ya, logdet = coupling_apply(
+            xa, raw, t, reverse=reverse, layout=self.io_layout
+        )
         y = jnp.concatenate([ya, xb.astype(ya.dtype)], axis=-1)
         return y, logdet

@@ -19,6 +19,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from tpuflow.flows.layout import batch_shape, spatial_hw
+
 
 def _lu_init(rng: jax.Array, c: int):
     """Random rotation -> pivoted LU factors (host-side, init only)."""
@@ -52,7 +54,12 @@ def compute_w_inv(
 
 
 class InvConv1x1LU(nn.Module):
-    """y[b,h,w,:] = x[b,h,w,:] @ W with W = P @ L @ (U + diag(sign*exp(log_s)))."""
+    """y[b,h,w,:] = x[b,h,w,:] @ W with W = P @ L @ (U + diag(sign*exp(log_s))).
+
+    The per-pixel channel mix contracts the LAST axis, so it is
+    layout-independent; ``layout`` only shapes the logdet stream."""
+
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(
@@ -108,9 +115,9 @@ class InvConv1x1LU(nn.Module):
 
         hp = jax.lax.Precision.HIGHEST
         x32 = x.astype(jnp.float32)
-        h, w = x.shape[-3], x.shape[-2]
+        h, w = spatial_hw(x, self.layout)
         logdet = jnp.broadcast_to(
-            h * w * jnp.sum(log_s), x.shape[:-3]
+            h * w * jnp.sum(log_s), batch_shape(x, self.layout)
         ).astype(jnp.float32)
 
         # Everything here must run at full f32 precision: on TPU the

@@ -16,31 +16,38 @@ import math
 import jax
 import jax.numpy as jnp
 
+from tpuflow.flows.layout import field_axes
+
 _LOG2PI = math.log(2.0 * math.pi)
 
 
-def gaussian_logp(z: jax.Array, mean: jax.Array, log_std: jax.Array) -> jax.Array:
+def gaussian_logp(
+    z: jax.Array,
+    mean: jax.Array,
+    log_std: jax.Array,
+    layout: str = "nhwc",
+) -> jax.Array:
     """Sum of elementwise diagonal-Gaussian log-density over the field
     axes (h, w, c) — batch shape passes through.
 
-    Summing over the LAST THREE axes (not "all but the first") matches
-    the logdet convention of every bijector (reductions over
-    x.shape[:-3]), so arbitrary batch shapes — e.g. (B, T) with time
-    folded into the batch — give a per-element density instead of
-    silently collapsing extra batch axes into the sum.
+    Summing over the FIELD axes only (not "all but the first") matches
+    the logdet convention of every bijector, so arbitrary batch shapes
+    — e.g. (B, T) with time folded into the batch under nhwc — give a
+    per-element density instead of silently collapsing extra batch axes
+    into the sum. ``layout`` picks the field axes (flows/layout.py).
 
     Args:
-      z: (..., h, w, c) latent.
+      z: (..., h, w, c) latent (nhwc) or (h, w, n, c) (hwnc).
       mean, log_std: broadcastable to z.
 
     Returns:
-      z.shape[:-3] float32 log-probability.
+      batch-shaped float32 log-probability.
     """
     z = z.astype(jnp.float32)
     mean = mean.astype(jnp.float32)
     log_std = log_std.astype(jnp.float32)
     lp = -0.5 * (_LOG2PI + 2.0 * log_std + jnp.exp(-2.0 * log_std) * (z - mean) ** 2)
-    return jnp.sum(lp, axis=(-3, -2, -1))
+    return jnp.sum(lp, axis=field_axes(layout))
 
 
 def gaussian_sample(

@@ -21,21 +21,25 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from tpuflow.flows.layout import LayoutConv
 from tpuflow.flows.prior import gaussian_logp, gaussian_sample
 
 
 class _PriorNet(nn.Module):
-    """Zero-init conv producing (mean, log_std) for ``out_channels``."""
+    """Zero-init conv producing (mean, log_std) for ``out_channels``.
+
+    LayoutConv keeps nn.Conv's exact parameter tree, so checkpoints
+    are identical across flow layouts."""
 
     out_channels: int
     dtype: Any = jnp.bfloat16
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, h: jax.Array) -> tuple[jax.Array, jax.Array]:
-        st = nn.Conv(
-            2 * self.out_channels, (3, 3), padding="SAME",
-            dtype=self.dtype, param_dtype=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        st = LayoutConv(
+            2 * self.out_channels, (3, 3), layout=self.layout,
+            dtype=self.dtype,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
             name="prior_conv",
@@ -60,6 +64,7 @@ class ConditionalSplit(nn.Module):
     """
 
     dtype: Any = jnp.bfloat16
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(
@@ -78,13 +83,15 @@ class ConditionalSplit(nn.Module):
             h = keep if cond is None else jnp.concatenate(
                 [keep, cond.astype(keep.dtype)], axis=-1
             )
-            mean, log_std = _PriorNet(ck, dtype=self.dtype, name="prior")(h)
+            mean, log_std = _PriorNet(
+                ck, dtype=self.dtype, layout=self.layout, name="prior"
+            )(h)
             if drop is None:
                 drop = gaussian_sample(rng, mean, log_std, temperature)
             out = jnp.concatenate(
                 [keep.astype(jnp.float32), drop.astype(jnp.float32)], axis=-1
             )
-            return out, -gaussian_logp(drop, mean, log_std)
+            return out, -gaussian_logp(drop, mean, log_std, self.layout)
 
         c = z.shape[-1]
         ck = c // 2
@@ -92,8 +99,10 @@ class ConditionalSplit(nn.Module):
         h = keep if cond is None else jnp.concatenate(
             [keep, cond.astype(keep.dtype)], axis=-1
         )
-        mean, log_std = _PriorNet(ck, dtype=self.dtype, name="prior")(h)
-        logp = gaussian_logp(dropped, mean, log_std)
+        mean, log_std = _PriorNet(
+            ck, dtype=self.dtype, layout=self.layout, name="prior"
+        )(h)
+        logp = gaussian_logp(dropped, mean, log_std, self.layout)
         return keep, dropped, logp
 
 
@@ -104,6 +113,7 @@ class ConditionalPrior(nn.Module):
     """
 
     dtype: Any = jnp.bfloat16
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(
@@ -118,13 +128,14 @@ class ConditionalPrior(nn.Module):
         if reverse:
             out_channels = z_or_shape  # static int: channels to draw
             mean, log_std = _PriorNet(
-                out_channels, dtype=self.dtype, name="prior"
+                out_channels, dtype=self.dtype, layout=self.layout,
+                name="prior",
             )(cond)
             z = gaussian_sample(rng, mean, log_std, temperature)
-            return z, -gaussian_logp(z, mean, log_std)
+            return z, -gaussian_logp(z, mean, log_std, self.layout)
 
         z = z_or_shape
         mean, log_std = _PriorNet(
-            z.shape[-1], dtype=self.dtype, name="prior"
+            z.shape[-1], dtype=self.dtype, layout=self.layout, name="prior"
         )(cond)
-        return z, gaussian_logp(z, mean, log_std)
+        return z, gaussian_logp(z, mean, log_std, self.layout)

@@ -37,13 +37,19 @@ _SCALE_SHIFT = 2.0  # sigmoid(raw + 2): starts near identity (s ~ 0.88)
 
 
 def _xla_coupling_apply(
-    x: jax.Array, raw: jax.Array, t: jax.Array, *, reverse: bool
+    x: jax.Array, raw: jax.Array, t: jax.Array, *, reverse: bool,
+    layout: str = "nhwc",
 ) -> tuple[jax.Array, jax.Array]:
+    from tpuflow.flows.layout import field_axes
+
     x = x.astype(jnp.float32)
     raw = raw.astype(jnp.float32)
     t = t.astype(jnp.float32)
     log_s = jax.nn.log_sigmoid(raw + _SCALE_SHIFT)
-    reduce_axes = tuple(range(x.ndim - 3, x.ndim))
+    if layout == "hwnc":
+        reduce_axes = field_axes("hwnc")
+    else:
+        reduce_axes = tuple(range(x.ndim - 3, x.ndim))
     logdet = jnp.sum(log_s, axis=reduce_axes)
     if reverse:
         y = x * jnp.exp(-log_s) - t
@@ -59,24 +65,30 @@ def coupling_apply(
     *,
     reverse: bool = False,
     use_pallas: bool = False,
+    layout: str = "nhwc",
 ) -> tuple[jax.Array, jax.Array]:
     """Fused affine-coupling apply + logdet.
 
     Args:
-      x: (..., H, W, C) half-channels being transformed (float32 path).
+      x: (..., H, W, C) half-channels being transformed (float32 path);
+        (H, W, N, C) when ``layout="hwnc"`` (flows/layout.py).
       raw: raw scale logits from the coupling net, same shape.
       t: shift from the coupling net, same shape.
       reverse: inverse transform if True.
-      use_pallas: route to the Pallas TPU kernel when on TPU.
+      use_pallas: route to the Pallas TPU kernel when on TPU
+        (nhwc layout only).
+      layout: flow-tensor layout; picks the logdet reduction axes.
 
     Returns:
       (y, logdet) with logdet shape = batch shape, float32.
     """
     if use_pallas and _on_tpu():
+        if layout == "hwnc":
+            raise ValueError("the Pallas coupling kernel is nhwc-only")
         from tpuflow.kernels.coupling_pallas import pallas_coupling_apply
 
         return pallas_coupling_apply(x, raw, t, reverse=reverse)
-    return _xla_coupling_apply(x, raw, t, reverse=reverse)
+    return _xla_coupling_apply(x, raw, t, reverse=reverse, layout=layout)
 
 
 @functools.cache

@@ -20,6 +20,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from tpuflow.flows.layout import LayoutConv
+
 State = tuple[jax.Array, jax.Array]  # (h, c), float32
 
 
@@ -31,24 +33,27 @@ class ConvLSTMCell(nn.Module):
     input x stay batch-1 through its conv while h carries the ensemble
     axis — the W_x work is paid once, not per member — and avoids
     materializing the concatenated activation (measured ~30% of rollout
-    device time was XLA layout copies of such tensors)."""
+    device time was XLA layout copies of such tensors).
+
+    ``layout`` (flows/layout.py): under "hwnc" x/h/c are (H, W, N, ch)
+    and the gate convs run natively in that layout — LayoutConv keeps
+    nn.Conv's parameter tree, so checkpoints are layout-independent."""
 
     hidden: int
     kernel: tuple[int, int] = (3, 3)
     forget_bias: float = 1.0
     dtype: Any = jnp.bfloat16
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, x: jax.Array, state: State) -> tuple[jax.Array, State]:
         h, c = state
-        hp = jax.lax.Precision.HIGHEST
-        gates = nn.Conv(
-            4 * self.hidden, self.kernel, padding="SAME", dtype=self.dtype,
-            param_dtype=jnp.float32, precision=hp, name="gates_x",
-        )(x.astype(self.dtype)) + nn.Conv(
-            4 * self.hidden, self.kernel, padding="SAME", dtype=self.dtype,
-            param_dtype=jnp.float32, precision=hp, use_bias=False,
-            name="gates_h",
+        gates = LayoutConv(
+            4 * self.hidden, self.kernel, layout=self.layout,
+            dtype=self.dtype, name="gates_x",
+        )(x.astype(self.dtype)) + LayoutConv(
+            4 * self.hidden, self.kernel, layout=self.layout,
+            dtype=self.dtype, use_bias=False, name="gates_h",
         )(h.astype(self.dtype))
         gates = gates.astype(jnp.float32)
         i, f, g, o = jnp.split(gates, 4, axis=-1)

@@ -30,6 +30,7 @@ from tpuflow.flows import (
     squeeze2d,
     unsqueeze2d,
 )
+from tpuflow.flows.layout import batch_shape as _batch_shape
 
 
 class GlowStep(nn.Module):
@@ -41,10 +42,11 @@ class GlowStep(nn.Module):
     dtype: Any = jnp.bfloat16
     use_pallas: bool = False
     conv_layout: str = "hwnc"
+    flow_layout: str = "nhwc"
 
     def setup(self):
-        self.actnorm = ActNorm()
-        self.invconv = InvConv1x1LU()
+        self.actnorm = ActNorm(layout=self.flow_layout)
+        self.invconv = InvConv1x1LU(layout=self.flow_layout)
         self.coupling = AffineCoupling(
             width=self.width,
             layers=self.layers,
@@ -52,6 +54,7 @@ class GlowStep(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             conv_layout=self.conv_layout,
+            io_layout=self.flow_layout,
         )
 
     def __call__(
@@ -92,6 +95,9 @@ class MultiScaleGlow(nn.Module):
     dtype: Any = jnp.bfloat16
     use_pallas: bool = False
     conv_layout: str = "hwnc"
+    # Layout of every flow tensor (x, latents, conds) — "hwnc" removes
+    # all per-bijector transposes from the hot loops (flows/layout.py).
+    flow_layout: str = "nhwc"
 
     def setup(self):
         steps = []
@@ -106,16 +112,24 @@ class MultiScaleGlow(nn.Module):
                         dtype=self.dtype,
                         use_pallas=self.use_pallas,
                         conv_layout=self.conv_layout,
+                        flow_layout=self.flow_layout,
                         name=f"scale{l}_step{k}",
                     )
                     for k in range(self.n_steps)
                 ]
             )
             if l < self.n_scales - 1:
-                splits.append(ConditionalSplit(dtype=self.dtype, name=f"split{l}"))
+                splits.append(
+                    ConditionalSplit(
+                        dtype=self.dtype, layout=self.flow_layout,
+                        name=f"split{l}",
+                    )
+                )
         self.steps = steps
         self.splits = splits
-        self.base_prior = ConditionalPrior(dtype=self.dtype, name="base_prior")
+        self.base_prior = ConditionalPrior(
+            dtype=self.dtype, layout=self.flow_layout, name="base_prior"
+        )
 
     def __call__(self, x, conds, *, reverse=False, **kw):
         if reverse:
@@ -125,13 +139,13 @@ class MultiScaleGlow(nn.Module):
     def forward(
         self, x: jax.Array, conds: list[jax.Array]
     ) -> tuple[list[jax.Array], jax.Array, jax.Array]:
-        batch_shape = x.shape[:-3]
-        logdet = jnp.zeros(batch_shape, jnp.float32)
-        logp = jnp.zeros(batch_shape, jnp.float32)
+        bshape = _batch_shape(x, self.flow_layout)
+        logdet = jnp.zeros(bshape, jnp.float32)
+        logp = jnp.zeros(bshape, jnp.float32)
         latents: list[jax.Array] = []
         h = x
         for l in range(self.n_scales):
-            h = squeeze2d(h)
+            h = squeeze2d(h, layout=self.flow_layout)
             for step in self.steps[l]:
                 h, ld = step(h, conds[l])
                 logdet = logdet + ld
@@ -187,7 +201,7 @@ class MultiScaleGlow(nn.Module):
             for k in range(self.n_steps - 1, -1, -1):
                 w_inv = inv_caches[l][k] if inv_caches is not None else None
                 h, _ = self.steps[l][k](h, conds[l], reverse=True, w_inv=w_inv)
-            h = unsqueeze2d(h)
+            h = unsqueeze2d(h, layout=self.flow_layout)
         return h, logp
 
     @property

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from tpuflow.configs.config import ModelConfig
+from tpuflow.flows.layout import LayoutConv, from_layout, member_axis, to_layout
 from tpuflow.models.conv_lstm import ConvLSTMCell
 from tpuflow.models.glow import MultiScaleGlow
 from tpuflow.models.lf_encoder import LFEncoder
@@ -71,7 +72,21 @@ def build_inv_caches(
 
 def init_lstm_state(cfg: ModelConfig, batch_shape: tuple[int, ...]) -> LSTMState:
     """Zero ConvLSTM state pytree for a batch (pure function of config,
-    no parameters — matches the reference's state init, SURVEY.md §3.1)."""
+    no parameters — matches the reference's state init, SURVEY.md §3.1).
+    Under ``flow_layout="hwnc"`` states are (H_l, W_l, N, hidden)."""
+    if cfg.flow_layout == "hwnc":
+        if len(batch_shape) != 1:
+            raise ValueError(
+                f"hwnc flow layout carries exactly one batch axis, got "
+                f"batch_shape={batch_shape}"
+            )
+        return tuple(
+            (
+                jnp.zeros((sh, sw, batch_shape[0], cfg.lstm_hidden), jnp.float32),
+                jnp.zeros((sh, sw, batch_shape[0], cfg.lstm_hidden), jnp.float32),
+            )
+            for sh, sw in scale_shapes(cfg)
+        )
     return tuple(
         (
             jnp.zeros((*batch_shape, sh, sw, cfg.lstm_hidden), jnp.float32),
@@ -100,24 +115,26 @@ class TMGlow(nn.Module):
             name="encoder",
         )
         self.cells = [
-            ConvLSTMCell(hidden=cfg.lstm_hidden, dtype=dtype, name=f"lstm{l}")
+            ConvLSTMCell(
+                hidden=cfg.lstm_hidden, dtype=dtype,
+                layout=cfg.flow_layout, name=f"lstm{l}",
+            )
             for l in range(cfg.n_scales)
         ]
         # Split conditioning projection (sum of 1x1 convs instead of a
         # conv over concat): the encoder-feature side can stay batch-1
         # under ensemble batching, and no concat is materialized.
-        hp = jax.lax.Precision.HIGHEST
         self.cond_proj_f = [
-            nn.Conv(
-                cfg.cond_channels, (1, 1), dtype=dtype,
-                param_dtype=jnp.float32, precision=hp, name=f"cond_projf{l}",
+            LayoutConv(
+                cfg.cond_channels, (1, 1), layout=cfg.flow_layout,
+                dtype=dtype, name=f"cond_projf{l}",
             )
             for l in range(cfg.n_scales)
         ]
         self.cond_proj_h = [
-            nn.Conv(
-                cfg.cond_channels, (1, 1), dtype=dtype, use_bias=False,
-                param_dtype=jnp.float32, precision=hp, name=f"cond_projh{l}",
+            LayoutConv(
+                cfg.cond_channels, (1, 1), layout=cfg.flow_layout,
+                dtype=dtype, use_bias=False, name=f"cond_projh{l}",
             )
             for l in range(cfg.n_scales)
         ]
@@ -131,16 +148,20 @@ class TMGlow(nn.Module):
             dtype=dtype,
             use_pallas=cfg.use_pallas,
             conv_layout=cfg.conv_layout,
+            flow_layout=cfg.flow_layout,
             name="glow",
         )
 
     def _condition(
         self, lf_t: jax.Array, state: LSTMState
     ) -> tuple[list[jax.Array], LSTMState]:
-        feats = self.encoder(lf_t)
+        feats = self.encoder(lf_t)  # NHWC pyramid (encoder is NHWC-only)
         conds, new_state = [], []
         for l in range(self.cfg.n_scales):
-            f = feats[l]
+            # Under hwnc flow layout the (B, h, w, F) feature transposes
+            # here, ONCE per scale per step — the flow itself then runs
+            # transpose-free (flows/layout.py).
+            f = to_layout(feats[l], self.cfg.flow_layout)
             h, s = self.cells[l](f, state[l])
             cond = self.cond_proj_f[l](f) + self.cond_proj_h[l](
                 h.astype(f.dtype)
@@ -157,10 +178,15 @@ class TMGlow(nn.Module):
         self, hf_t: jax.Array, lf_t: jax.Array, state: LSTMState
     ) -> tuple[jax.Array, LSTMState]:
         """Forward (normalizing) direction → per-example NLL in
-        bits/dim (the training objective, SURVEY.md §3.1)."""
-        conds, state = self._condition(lf_t, state)
-        _, logdet, logp = self.glow.forward(hf_t, conds)
+        bits/dim (the training objective, SURVEY.md §3.1). hf_t/lf_t
+        arrive batch-major (B, H, W, C) in EITHER flow layout — the
+        internal-layout conversion is one transpose per step here,
+        not ~2 per bijector."""
         dims = hf_t.shape[-3] * hf_t.shape[-2] * hf_t.shape[-1]
+        conds, state = self._condition(lf_t, state)
+        _, logdet, logp = self.glow.forward(
+            to_layout(hf_t, self.cfg.flow_layout), conds
+        )
         bpd = -(logp + logdet) / (dims * _LN2)
         return bpd, state
 
@@ -172,10 +198,13 @@ class TMGlow(nn.Module):
         temperature: float | jax.Array = 1.0,
     ) -> tuple[jax.Array, LSTMState]:
         """Reverse (generative) direction: one autoregressive HF sample
-        (SURVEY.md §3.2 ensemble-inference hot loop body)."""
+        (SURVEY.md §3.2 ensemble-inference hot loop body). Returns x
+        batch-major (N, H, W, C) in either flow layout; the rollout
+        fast path (``sample_from_feats``) keeps the internal layout
+        instead."""
         conds, state = self._condition(lf_t, state)
         x, _ = self.glow.reverse(conds, rng=rng, temperature=temperature)
-        return x, state
+        return from_layout(x, self.cfg.flow_layout), state
 
     def encode_lf(self, lf: jax.Array) -> list[jax.Array]:
         """LF frame(s) -> encoder feature pyramid. Batch-generic: pass
@@ -196,17 +225,25 @@ class TMGlow(nn.Module):
         """Ensemble-batched sample step from precomputed encoder
         features (the rollout hot loop body).
 
-        feats are unbatched (h_l, w_l, F) or batch-1; state carries the
-        member axis N. One rng draws iid latents for all members at
+        feats are unbatched (h_l, w_l, F) or batch-1 batch-major;
+        state carries the member axis N. Returns x in the INTERNAL
+        flow layout ((N,H,W,C) nhwc / (H,W,N,C) hwnc) — the rollout
+        reduces ensemble stats over the member axis directly, so no
+        per-step output transpose exists in the hot loop. One rng draws iid latents for all members at
         once (equivalent to per-member keys: batched normal draws are
         independent across the batch axis). inv_caches (see
         build_inv_caches) skips the per-step LU triangular solves.
         """
         conds, new_state = [], []
+        hwnc = self.cfg.flow_layout == "hwnc"
         for l in range(self.cfg.n_scales):
             f = feats[l]
             if f.ndim == 3:
-                f = f[None]
+                # (h, w, F) -> batch-1 in the flow layout (pure reshape
+                # under hwnc: the batch axis lands at -2).
+                f = f[:, :, None, :] if hwnc else f[None]
+            else:
+                f = to_layout(f, self.cfg.flow_layout)
             # f stays batch-1: its convs (LSTM gates_x, cond_proj_f)
             # broadcast against the member-batched hidden-state side,
             # so the shared-input work is paid once, not per member.
@@ -224,9 +261,13 @@ class TMGlow(nn.Module):
     def encode_step(
         self, hf_t: jax.Array, lf_t: jax.Array, state: LSTMState
     ) -> tuple[list[jax.Array], jax.Array, jax.Array, LSTMState]:
-        """x → latents (for invertibility tests / latent-space work)."""
+        """x → latents (for invertibility tests / latent-space work).
+        hf_t arrives batch-major; latents come back in the INTERNAL
+        flow layout (reconstruct_step consumes them as-is)."""
         conds, state = self._condition(lf_t, state)
-        latents, logdet, logp = self.glow.forward(hf_t, conds)
+        latents, logdet, logp = self.glow.forward(
+            to_layout(hf_t, self.cfg.flow_layout), conds
+        )
         return latents, logdet, logp, state
 
     def reconstruct_step(
@@ -234,7 +275,9 @@ class TMGlow(nn.Module):
     ) -> tuple[jax.Array, LSTMState]:
         """latents → x. With the same (lf_t, state) as ``encode_step``
         the conditioning is identical, so this is the exact inverse —
-        the <1e-4 BASELINE reconstruction gate (SURVEY.md §3.4)."""
+        the <1e-4 BASELINE reconstruction gate (SURVEY.md §3.4).
+        Latents are internal-layout (from ``encode_step``); x returns
+        batch-major (B, H, W, C)."""
         conds, state = self._condition(lf_t, state)
         x, _ = self.glow.reverse(conds, latents=latents)
-        return x, state
+        return from_layout(x, self.cfg.flow_layout), state

@@ -57,11 +57,16 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
-def ensemble_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (ensemble-member) axis over BOTH mesh axes —
-    at inference there is no gradient traffic, so every chip takes an
-    equal slice of the ensemble (SURVEY.md §2 'Ensemble parallelism')."""
-    return NamedSharding(mesh, P((DATA_AXIS, ENSEMBLE_AXIS)))
+def ensemble_sharding(mesh: Mesh, member_axis: int = 0) -> NamedSharding:
+    """Shard the ensemble-member axis over BOTH mesh axes — at
+    inference there is no gradient traffic, so every chip takes an
+    equal slice of the ensemble (SURVEY.md §2 'Ensemble parallelism').
+
+    ``member_axis``: position of the member axis in the tensors being
+    constrained — 0 for nhwc flow layout, 2 for hwnc (H, W, N, ...)
+    states (flows/layout.py)."""
+    spec = [None] * member_axis + [(DATA_AXIS, ENSEMBLE_AXIS)]
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
