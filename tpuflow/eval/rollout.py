@@ -46,11 +46,15 @@ def make_ensemble_rollout(
     temperature: float = 1.0,
     collect: str = "stats",
     mesh=None,
+    unroll: int = 1,
 ) -> Callable:
     """Build rollout(variables, lf_traj, rng) for ONE LF trajectory.
 
     Args:
       lf_traj: (T, h, w, C) normalized LF input sequence.
+      unroll: lax.scan unroll factor for the time loop (perf knob;
+        >1 trades compile time + code size for fewer loop-boundary
+        stalls; measured on-chip in docs/PERF_NOTES.md).
       mesh: optional jax.sharding.Mesh — shards the ensemble axis of
         the recurrent state (and therefore every member-batched
         intermediate) across ALL mesh devices: zero-communication
@@ -116,7 +120,12 @@ def make_ensemble_rollout(
                 out = (jnp.mean(x, axis=m_ax), jnp.var(x, axis=m_ax))
             return (states, key), out
 
-        (_, _), ys = jax.lax.scan(step, (states, rng), feats_traj)
+        # unroll>1 lets XLA software-pipeline consecutive steps: the
+        # ~300 per-iteration HBM->VMEM weight prefetches (see
+        # docs/PERF_NOTES.md "async copies") amortize over `unroll`
+        # physical steps per loop iteration.
+        (_, _), ys = jax.lax.scan(
+            step, (states, rng), feats_traj, unroll=unroll)
         if collect == "fields":
             return ys  # (T, N, H, W, C)
         mean, var = ys

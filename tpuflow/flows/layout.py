@@ -5,17 +5,20 @@ members of small-channel 2D fields). XLA's TPU conv emitter wants
 channels minor (lanes) with a large contiguous row dimension; feeding
 it (N, H, W, C) logical operands at these shapes either hits a
 ~3.1x-costlier emitter path or forces XLA to insert per-op relayout
-copies. Round-1 measurement: transposing ONLY the coupling nets into
-(H, W, N, C) and back cost ~300 async copies per rollout step — 68% of
-profiled device time (see flows/coupling.py docstring).
+copies (measured 2.3x per flow step, r1).
 
-The fix is to stop transposing: with ``flow_layout="hwnc"`` the ENTIRE
-flow path — bijectors, priors, ConvLSTM state, conditioning — lives in
-(H, W, N, C) with N the member/batch axis, so the scan body contains
-no layout copies at all. Ensemble statistics reduce over the member
-axis directly (no output transpose either); the only NHWC<->HWNC
+With ``flow_layout="hwnc"`` the ENTIRE flow path — bijectors, priors,
+ConvLSTM state, conditioning — lives in (H, W, N, C) with N the
+member/batch axis, so the scan body contains no logical layout
+transposes at all. Ensemble statistics reduce over the member axis
+directly (no output transpose either); the only NHWC<->HWNC
 conversions left are one per step on the training input and the
-(cold) single-step public APIs.
+(cold) single-step public APIs. Honest perf note: end-to-end this is
+1.01x over per-coupling transposing — r2 profiling showed XLA already
+fused those transposes away (the rollout's async copies are weight
+prefetches, not transposes; docs/PERF_NOTES.md). The layout stays
+because it is the structurally transpose-free design and measured
+never-worse.
 
 Everything here is layout bookkeeping shared by the bijectors:
 axis maps for reductions/broadcasts, squeeze patterns, and a conv

@@ -1,18 +1,20 @@
 """Pallas TPU kernel: the ENTIRE affine coupling fused in VMEM.
 
 One kernel call = coupling net (dense-block convs) + affine apply +
-logdet, per GlowStep coupling. This is the throughput lever VERDICT r1
-item 1 named: the flow's small-channel tensors (6-24 ch) anchor
-batch-minor XLA layouts, which force either a 3.1x-costlier conv
-emitter (plain NHWC) or per-coupling transpose copies (the HWNC
-workaround — 68% of rollout device time showed up as async-copy in the
-r1 profile). A custom kernel sidesteps the layout fight entirely and
-fixes the conv math itself:
+logdet, per GlowStep coupling. Built for VERDICT r1 item 1 (beat XLA's
+22%-MXU conv emitter); the measured outcome — kernel ~= XLA, and WHY —
+is documented in docs/PERF_NOTES.md ("Fused-kernel ablation"). Short
+version: the im2col/lane-concat formation that feeds K = 9*C_in
+matmuls costs about as much as the matmuls it enables, because this
+model's 64-wide features half-fill both the 128-lane registers and
+the MXU's 128 contraction rows; the kernel and XLA's HWNC emitter sit
+at the same hardware floor. The kernel therefore ships as a parity-
+proven alternative path (ModelConfig.use_pallas), not the default.
 
-  * convs run as im2col matmuls with K = 9*C_in (576 for the width-64
-    layer) instead of XLA's K = C_in streaming emitters — C_in = 64
-    fills only half the MXU's 128 contraction rows, capping XLA at
-    ~22% MXU even with the good emitter (measured, r1 profile).
+What it does:
+  * convs run as dx-grouped matmuls with K = 3*C_in lane-concatenated
+    dy-taps (v2; v1 staged a (M, 9*C_in) im2col scratch — same speed,
+    see the ablation table).
   * all intermediate feature maps live in VMEM; the only HBM traffic
     is x in / y out / weights (resident across the member-tile grid).
   * the affine apply + logdet reduction fuse into the same kernel, so
@@ -55,6 +57,17 @@ LANE = 128
 # Flip in tests to run the kernel on CPU via the Pallas interpreter.
 INTERPRET = False
 
+# Stage each dx-slab of the padded buffer into an aligned scratch
+# (ref-to-ref copy; the DMA absorbs the sublane offset) before the
+# dy-concat, instead of concatenating sublane-offset slices directly.
+# A/B'd on-chip; see docs/PERF_NOTES.md.
+STAGE_DX = False
+
+# Perf-ablation switches (dev-only, wrong math when set): used by the
+# on-chip probe to attribute kernel time to components. Never set in
+# production paths.
+ABLATE: set = set()
+
 # Per-cell VMEM working-set target (bytes) used to pick the member-tile
 # size TM. Conservative: v5e VMEM is ~16 MB minus double-buffered
 # in/out blocks.
@@ -65,16 +78,23 @@ def _taps():
     return [(dy, dx) for dy in range(3) for dx in range(3)]
 
 
-def _pick_tm(b: int, h: int, w: int, pc: int, net_bytes: int) -> int:
-    """Largest divisor of b whose per-cell scratch fits the VMEM target.
+def _pick_tm(b: int, h: int, w: int, pc: int, net_bytes: int,
+             total_out: int) -> int:
+    """Largest divisor of b whose per-cell working set fits the VMEM
+    target.
 
-    Scratch ~= padded buffer (TM,(H+2),(W+2),PC) + im2col (TM,H,W,9*PC)
-    in net dtype + f32 intermediates (~12*PC per position).
+    v2 working set (no im2col staging buffer — taps feed the MXU as
+    lane-concatenated values): padded feature buffer in net dtype, plus
+    the live f32 values Mosaic keeps resident per position — the target
+    accumulators (``total_out``), one in-flight joint output, the h0
+    activation, and ~2 group-concat temporaries of 128 lanes in net
+    dtype. Calibrated on-chip (tm=4 at the flagship scale-0 shape
+    compiles with ~5 MB headroom; tm=8 overflows).
     """
     per_member = (
         (h + 2) * (w + 2) * pc * net_bytes
-        + h * w * 9 * pc * net_bytes
-        + h * w * 12 * pc * 4
+        + h * w * (2 * total_out + pc) * 4
+        + h * w * 2 * 128 * net_bytes
     )
     tm = max(1, _VMEM_TARGET // max(per_member, 1))
     tm = min(tm, b)
@@ -97,7 +117,8 @@ def _kernel(
     wj_refs = rest[:L + 1]
     bj0_ref = rest[L + 1]
     y_ref, ld_ref = rest[L + 2], rest[L + 3]
-    p_ref, a_ref = rest[L + 4], rest[L + 5]
+    p_ref = rest[L + 4]
+    s_ref = rest[L + 5] if cfg["stage_dx"] else None
 
     tm, h, w, ca = xa_ref.shape
     cb = xb_ref.shape[-1]
@@ -114,30 +135,61 @@ def _kernel(
     hp = jax.lax.Precision.HIGHEST if nd == jnp.float32 else None
 
     # Zero once: the 1-px border is the SAME-conv zero padding; the
-    # interior is overwritten before every read.
+    # interior is overwritten before every read. (Measured negligible:
+    # the padded buffer is ~1 MB/cell at tm=4.)
     p_ref[...] = jnp.zeros(p_ref.shape, p_ref.dtype)
 
-    def put(fmap_2d, cin):
+    def put(fmap_2d, cin, first=False):
+        if "no_put" in ABLATE and not first:
+            return
+        if "aligned_put" in ABLATE:
+            p_ref[:, 1:h + 1, 0:w, :cin] = fmap_2d.reshape(tm, h, w, cin)
+            return
         p_ref[:, 1:h + 1, 1:w + 1, :cin] = fmap_2d.reshape(tm, h, w, cin)
 
-    def im2col(cin):
-        for t, (dy, dx) in enumerate(_taps()):
-            a_ref[:, :, :, t * cin:(t + 1) * cin] = (
-                p_ref[:, dy:dy + h, dx:dx + w, :cin]
-            )
-        return a_ref[:, :, :, : 9 * cin].reshape(m, 9 * cin)
+    def conv(cin, w_ref):
+        """3x3 SAME conv on p_ref[..., :cin] as 3 dx-grouped matmuls.
+
+        v2 scheme (the r2 perf fix): instead of staging a (M, 9*cin)
+        im2col buffer — whose half-lane-tile writes RMW'd and whose
+        VMEM footprint forced TM=1 (64 grid cells/coupling, per-cell
+        overhead dominated) — feed the MXU with lane-CONCATENATED tap
+        values: one matmul per dx with the 3 dy-taps concatenated, so
+        the main matmuls contract over 3*cin rows and nothing
+        round-trips VMEM. Taps must share a dx within a concat: the w
+        dim is the sublane dim, and Mosaic rejects concats whose inputs
+        carry different sublane offsets; dy only shifts the untiled h
+        dim. Weights arrive dx-major (repacked in _fused_pallas).
+        """
+        acc = None
+        for dx in range(3):
+            rdx = 0 if "aligned_reads" in ABLATE else dx
+            if s_ref is not None:
+                s_ref[:, :, :, :cin] = p_ref[:, :, rdx:rdx + w, :cin]
+                vals = [s_ref[:, dy:dy + h, :, :cin] for dy in range(3)]
+            else:
+                vals = [p_ref[:, dy:dy + h, rdx:rdx + w, :cin]
+                        for dy in range(3)]
+            lhs = jnp.concatenate(vals, -1).reshape(m, 3 * cin)
+            if "no_matmul" in ABLATE:
+                nout = w_ref.shape[-1]
+                part = lhs[:, :nout].astype(jnp.float32) if 3 * cin >= nout \
+                    else jnp.zeros((m, nout), jnp.float32)
+            else:
+                part = jax.lax.dot_general(
+                    lhs, w_ref[dx * 3 * cin:(dx + 1) * 3 * cin, :],
+                    (((1,), (0,)), ((), ())),
+                    precision=hp,
+                    preferred_element_type=jnp.float32,
+                )
+            acc = part if acc is None else acc + part
+        return acc
 
     # conv_in: x-source conv + cond contribution (precomputed outside,
     # batch-1 aware) + bias, then relu.
     xb_val = xb_ref[...].reshape(m, cb)
-    put(xb_val.astype(nd), cb)
-    a0 = im2col(cb)
-    h0 = jax.lax.dot_general(
-        a0, win0_ref[...],
-        (((1,), (0,)), ((), ())),
-        precision=hp,
-        preferred_element_type=jnp.float32,
-    )
+    put(xb_val.astype(nd), cb, first=True)
+    h0 = conv(cb, win0_ref)
     h0c = h0c_ref[...].astype(jnp.float32)
     tmc = h0c.shape[0]
     h0c = h0c.reshape(tmc * h * w, width)
@@ -153,13 +205,7 @@ def _kernel(
     accs: list = [None] * (L + 1)
     for j in range(L + 1):
         cin = width if j == 0 else growth
-        a = im2col(cin)
-        yj = jax.lax.dot_general(
-            a, wj_refs[j][...],
-            (((1,), (0,)), ((), ())),
-            precision=hp,
-            preferred_element_type=jnp.float32,
-        )
+        yj = conv(cin, wj_refs[j])
         if j == 0:
             yj = yj + bj0_ref[...].reshape(1, -1)
         off = 0
@@ -201,8 +247,21 @@ def _fused_pallas(xa, xb, h0c, win0, b0, wjs, bj0, cfg: dict):
     nd = cfg["net_dtype"]
     pc = max(cb, width, growth)
     net_bytes = jnp.dtype(nd).itemsize
-    tm = _pick_tm(b, h, w, pc, net_bytes)
+    total_out = L * growth + 2 * ca
+    tm = _pick_tm(b, h, w, pc, net_bytes, total_out)
     grid = (b // tm,)
+
+    def dx_major(wp, cin):
+        # Repack tap-row blocks (dy-major, _taps() order) into the
+        # dx-major order the kernel's dy-concat groups consume.
+        blocks = wp.reshape(3, 3, cin, wp.shape[-1])  # (dy, dx, cin, out)
+        return jnp.swapaxes(blocks, 0, 1).reshape(9 * cin, wp.shape[-1])
+
+    win0 = dx_major(win0, cb)
+    wjs = tuple(
+        dx_major(wj, width if j == 0 else growth)
+        for j, wj in enumerate(wjs)
+    )
 
     def tile(i):
         return (i, 0, 0, 0)
@@ -242,8 +301,7 @@ def _fused_pallas(xa, xb, h0c, win0, b0, wjs, bj0, cfg: dict):
         ),
         scratch_shapes=[
             pltpu.VMEM((tm, h + 2, w + 2, pc), nd),
-            pltpu.VMEM((tm, h, w, 9 * pc), nd),
-        ],
+        ] + ([pltpu.VMEM((tm, h + 2, w, pc), nd)] if cfg["stage_dx"] else []),
         interpret=INTERPRET,
     )(xa, xb, h0c, win0, b0, *wjs, bj0)
     return y, ld.reshape(b, LANE)[:, 0]
@@ -311,6 +369,7 @@ def _cfg(width, growth, layers, net_dtype, reverse):
         "layers": layers,
         "net_dtype": net_dtype,
         "reverse": reverse,
+        "stage_dx": STAGE_DX,
     }
 
 
