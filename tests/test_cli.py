@@ -94,6 +94,18 @@ def test_cli_train_rollout_evaluate_pipeline(tmp_path):
         "tke_skill_vs_baseline",
     ):
         assert np.isfinite(emetrics[k]) and emetrics[k] > 0, k
+    # Holdout second-moment scoring, raw vs calibrated dispersion
+    # (scale fit on the disjoint even-indexed split): each family
+    # reports model-raw / model-calibrated / baseline + skill ratios.
+    for k in (
+        "tke_rel_l2_holdout_raw", "tke_rel_l2_holdout_calibrated",
+        "baseline_tke_rel_l2_holdout", "tke_skill_holdout_calibrated",
+        "reynolds_uv_rel_l2_holdout_calibrated",
+        "pdf_w1_u_holdout_raw", "pdf_w1_u_holdout_calibrated",
+        "baseline_pdf_w1_u_holdout", "pdf_w1_u_skill_holdout_calibrated",
+        "pdf_w1_v_skill_holdout_calibrated",
+    ):
+        assert np.isfinite(emetrics[k]) and emetrics[k] > 0, k
 
     # Trajectory chunking (eval.traj_batch) is a pure memory bound:
     # per-trajectory PRNG keys make chunked and single-dispatch

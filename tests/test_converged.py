@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import csv
 import json
+import os
 import pathlib
 
 import pytest
@@ -26,10 +27,25 @@ RUN = pathlib.Path(__file__).resolve().parent.parent / "runs" / "r2_converge"
 METRICS = RUN / "eval" / "backward-step" / "eval_metrics.json"
 
 
+def _require(path: pathlib.Path) -> None:
+    """Missing artifacts FAIL the gate (VERDICT r2 item 6): deleting
+    runs/ must not silently disable the entire convergence regression
+    suite. Opt out only explicitly (e.g. a fresh clone that has not
+    pulled LFS-ish artifacts) via TPUFLOW_ALLOW_MISSING_CONVERGED=1."""
+    if path.exists():
+        return
+    if os.environ.get("TPUFLOW_ALLOW_MISSING_CONVERGED") == "1":
+        pytest.skip(f"{path} missing (explicit opt-out set)")
+    pytest.fail(
+        f"converged-run artifact {path} is missing — the committed "
+        "evidence is part of the repository contract; restore it or set "
+        "TPUFLOW_ALLOW_MISSING_CONVERGED=1 to opt out explicitly"
+    )
+
+
 @pytest.fixture(scope="module")
 def metrics() -> dict:
-    if not METRICS.exists():
-        pytest.skip("converged-run artifacts not present")
+    _require(METRICS)
     return json.loads(METRICS.read_text())
 
 
@@ -79,8 +95,7 @@ def test_recalibrated_coverage(metrics):
 
 def test_training_curve_plateaued():
     val_log = RUN / "checkpoints" / "backward-step" / "val_log.csv"
-    if not val_log.exists():
-        pytest.skip("converged-run artifacts not present")
+    _require(val_log)
     rows = list(csv.DictReader(val_log.open()))
     assert len(rows) >= 20
     bpds = [float(r["val_bpd"]) for r in rows]

@@ -1,7 +1,11 @@
 """Contracts consumed by the external driver, pinned by tests:
 
-- ``bench.py`` must print exactly ONE JSON line with the agreed keys
-  (the driver records it as the round's benchmark result).
+- ``bench.py`` prints one JSON line per completed section, each a
+  SUPERSET of the previous, so the record survives a mid-run driver
+  kill no matter whether the driver parses the first or last JSON line
+  (round 2 lost its already-measured primary number to a single
+  end-of-run emission — BENCH_r02.json rc=124, parsed=null). Every
+  line must carry the agreed primary keys.
 - ``__graft_entry__.entry()`` must return a jittable forward step plus
   example args, and ``dryrun_multichip(n)`` must compile+execute the
   full sharded training step on an n-device mesh (the driver validates
@@ -27,7 +31,7 @@ def _load(name):
     return mod
 
 
-def test_bench_prints_one_json_line(monkeypatch, capsys):
+def test_bench_emits_progressive_json_records(monkeypatch, capsys):
     bench = _load("bench")
 
     # Stub the heavy pieces: this test pins the OUTPUT CONTRACT, not
@@ -48,12 +52,61 @@ def test_bench_prints_one_json_line(monkeypatch, capsys):
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()
     json_lines = [l for l in out if not l.startswith("#")]
-    assert len(json_lines) == 1, out
-    rec = json.loads(json_lines[0])
+    assert json_lines, out
+    recs = [json.loads(l) for l in json_lines]
+    # Every line is a complete primary record; the FIRST one must
+    # already carry the full key set (it is what survives a mid-run
+    # kill), and later lines only ever grow it.
+    for prev, cur in zip(recs, recs[1:]):
+        assert set(cur) >= set(prev), (prev, cur)
+        assert all(cur[k] == v for k, v in prev.items())
+    rec = recs[0]
     assert set(rec) >= {"metric", "value", "unit", "vs_baseline"}
     assert rec["metric"] == "rollout_steps_per_sec_chip_bstep64"
     assert rec["value"] == 123.456
     assert rec["vs_baseline"] == 1.0  # cpu backend: denominator = value
+
+
+def test_bench_on_tpu_uses_committed_denominator_and_deadlines(
+    monkeypatch, capsys
+):
+    """TPU path: vs_baseline comes from the committed constant (no
+    inline CPU re-measure — that is what blew round 2's driver budget),
+    and a secondary section whose start deadline has passed is skipped
+    with an explicit marker rather than risking the record in hand."""
+    bench = _load("bench")
+
+    monkeypatch.setattr(
+        bench, "_build", lambda *a, **k: ("cfg", "vars", "rollout", "traj")
+    )
+    monkeypatch.setattr(bench, "_time_rollout", lambda *a, **k: 114.0)
+    monkeypatch.setattr(bench, "_accelerator_reachable", lambda: True)
+    monkeypatch.setattr(bench.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(bench.jax.config, "update", lambda *a, **k: None)
+    monkeypatch.setattr(bench, "_bench_train", lambda: 13.9)
+    monkeypatch.setattr(bench, "_bench_pallas_parity", lambda: {"ok": 1})
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--quiet"])
+    # Cylinder section misses its start deadline; train/pallas make it.
+    monkeypatch.setattr(
+        bench,
+        "_elapsed",
+        lambda: bench._SECTION_START_DEADLINE_S["cylinder"] + 1,
+    )
+    monkeypatch.setitem(bench._SECTION_START_DEADLINE_S, "train", 10**6)
+    monkeypatch.setitem(bench._SECTION_START_DEADLINE_S, "pallas", 10**6)
+
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    recs = [json.loads(l) for l in out if not l.startswith("#")]
+    first, last = recs[0], recs[-1]
+    assert first["value"] == 114.0
+    assert first["vs_baseline"] == round(
+        114.0 / bench.CPU_DENOMINATOR_STEPS_PER_SEC, 2
+    )
+    assert last["train_windows_per_sec"] == 13.9
+    assert last["pallas"] == {"ok": 1}
+    assert "cylinder_steps_per_sec" not in last
+    assert "deadline" in last["cylinder_skipped"]
 
 
 def test_bench_cpu_fallback_still_emits_json(monkeypatch, capsys):
@@ -77,7 +130,7 @@ def test_bench_cpu_fallback_still_emits_json(monkeypatch, capsys):
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()
     json_lines = [l for l in out if not l.startswith("#")]
-    assert len(json_lines) == 1, out
+    assert json_lines, out
     rec = json.loads(json_lines[0])
     assert set(rec) >= {"metric", "value", "unit", "vs_baseline"}
     assert "[CPU FALLBACK" in rec["unit"]

@@ -22,7 +22,12 @@ GOLDEN = {
 
 
 def test_golden_physics_values():
-    lf, hf = generate_case("backward-step", 2, 16, (32, 64), (8, 16), seed=1234)
+    # fixture_version pinned EXPLICITLY: the config default moved to
+    # v2 (the honest fixture); these goldens freeze the v1 generator.
+    lf, hf = generate_case(
+        "backward-step", 2, 16, (32, 64), (8, 16), seed=1234,
+        fixture_version=1,
+    )
     tke = np.asarray(tke_field(jnp.asarray(hf.var(axis=1))))
     m = velocity_moments(jnp.asarray(hf[0]), axes=(0,))
 

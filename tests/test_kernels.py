@@ -102,7 +102,8 @@ def test_model_with_pallas_coupling_matches_xla_model():
 
 # ---------------------------------------------------------------------------
 # Fused whole-coupling kernel (kernels/coupling_fused.py): net convs as
-# im2col matmuls + affine + logdet in one Pallas call. Interpret mode
+# dx-grouped matmuls over lane-concatenated dy-taps (v2 scheme) +
+# affine + logdet in one Pallas call. Interpret mode
 # on CPU here; the compiled-on-TPU parity is captured by bench.py's
 # pallas section (VERDICT r1 item 7).
 # ---------------------------------------------------------------------------

@@ -170,3 +170,69 @@ def test_invalid_layout_combos_rejected():
     with pytest.raises(ValueError, match="use_pallas"):
         load_case("backward-step", {
             "model.flow_layout": "hwnc", "model.use_pallas": True})
+
+
+# ---------------------------------------------------------------------------
+# Supported configuration matrix (VERDICT r2 item 8): conv_layout x
+# flow_layout x use_pallas is a PARTIALLY-valid grid — this test is the
+# single source of truth enumerating every cell, in sync with the table
+# in docs/PERF_NOTES.md ("Supported path matrix") and the validation in
+# configs/config.py. A new combination must be added HERE (and there)
+# or validation must reject it.
+# ---------------------------------------------------------------------------
+
+# (conv_layout, flow_layout, use_pallas) -> valid?
+PATH_MATRIX = {
+    ("hwnc", "nhwc", False): True,   # DEFAULT: hwnc conv compute, nhwc flow
+    ("hwnc", "nhwc", True):  True,   # conv_layout is ignored by the fused
+                                     # dispatch (and used by its CPU fallback)
+    ("nhwc", "nhwc", False): True,   # reference-shaped everywhere
+    ("nhwc", "nhwc", True):  True,   # fused Pallas kernel path
+    ("hwnc", "hwnc", False): True,   # transpose-free flow (r2 study)
+    ("hwnc", "hwnc", True):  False,  # kernel consumes member-major tiles
+    ("nhwc", "hwnc", False): False,  # hwnc flow requires hwnc conv
+    ("nhwc", "hwnc", True):  False,
+}
+
+
+def test_path_matrix_enumeration():
+    """Every cell of the 2x2x2 grid behaves exactly as PATH_MATRIX says:
+    valid cells construct, invalid cells raise ValueError at validate."""
+    for (conv, flow, pallas), valid in PATH_MATRIX.items():
+        overrides = {
+            **SMALL,
+            "model.conv_layout": conv,
+            "model.flow_layout": flow,
+            "model.use_pallas": pallas,
+        }
+        if valid:
+            cfg = load_case("backward-step", overrides)
+            assert cfg.model.conv_layout == conv
+        else:
+            with pytest.raises(ValueError):
+                load_case("backward-step", overrides)
+
+
+def test_path_matrix_valid_cells_numerically_agree():
+    """All VALID non-Pallas cells produce the same teacher-forced NLL
+    from the same parameters (checkpoint portability across the whole
+    matrix). The Pallas cell's numeric parity is pinned separately in
+    tests/test_kernels.py (interpret mode on CPU, compiled in bench)."""
+    hf, lf = _data()
+    outs = {}
+    for (conv, flow, pallas), valid in PATH_MATRIX.items():
+        if not valid or pallas:
+            continue
+        cfg = load_case("backward-step", {
+            **SMALL,
+            "model.conv_layout": conv,
+            "model.flow_layout": flow,
+        })
+        m = TMGlow(cfg.model)
+        v = m.init(jax.random.PRNGKey(42), hf, lf,
+                   init_lstm_state(cfg.model, (3,)))
+        bpd, _ = m.apply(v, hf, lf, init_lstm_state(cfg.model, (3,)))
+        outs[(conv, flow)] = np.asarray(bpd)
+    vals = list(outs.values())
+    for other in vals[1:]:
+        np.testing.assert_allclose(vals[0], other, rtol=2e-4, atol=2e-4)

@@ -120,7 +120,13 @@ def main(argv=None) -> dict:
         )
         # Predicted turbulent fluctuation: pooled (time x ensemble)
         # variance vs the HF temporal variance (see stats.total_variance).
-        tke_pred = tke_field(total_variance(mean, var))
+        # The ensemble-variance term deploys with the configured spread
+        # calibration (eval.spread_scale, fit on a DISJOINT split by a
+        # previous evaluate run — eval/calibrate.py); 1.0 = raw. The
+        # in-eval fit/holdout calibrated metrics below never use this
+        # knob, so setting it from this same eval cannot leak.
+        s2 = cfg.eval.spread_scale ** 2
+        tke_pred = tke_field(total_variance(mean, var * s2))
         tke_ref = tke_field(hf.var(axis=0))
         tke_errs.append(float(relative_l2(tke_pred, tke_ref)))
         mean_errs.append(float(relative_l2(mean, hf)))
@@ -311,6 +317,24 @@ def main(argv=None) -> dict:
 
         cov_raw = cov_cal = cov_q = cov_s1 = 0.0
         crps_raw = crps_cal = 0.0
+        # Second-moment physics on the HOLDOUT trajectories, scored
+        # three ways on the identical t_cal horizon: raw ensemble,
+        # spread-calibrated ensemble (scale fit on the DISJOINT even
+        # split above), and the bicubic baseline. BASELINE config #4
+        # names variance/TKE statistics as the point of the ensemble;
+        # the raw τ=0.7 ensemble is underdispersed (coverage ~0.24 at
+        # nominal 0.50), so calibrated dispersion is the deployment-
+        # honest way to score variance-derived statistics — the same
+        # scale deploys at zero cost via eval.spread_scale.
+        sm = {
+            k: 0.0
+            for k in (
+                "tke_raw", "tke_cal", "tke_base",
+                "rey_raw", "rey_cal", "rey_base",
+                "w1u_raw", "w1u_cal", "w1u_base",
+                "w1v_raw", "w1v_cal", "w1v_base",
+            )
+        }
         report_idx = hold_idx or [0]  # in-sample fallback for 1 traj
         for i in report_idx:
             m_i, hf_i = (members, hf0) if i == 0 else _members_for(i)
@@ -334,13 +358,84 @@ def main(argv=None) -> dict:
                 jnp.full(len(_COVERAGE_LEVELS), scale),
                 levels=_COVERAGE_LEVELS,
             )
+            lf_up_i = lf_upsample(
+                jnp.asarray(ds.denorm_lf(ds.lf[i, :t_cal])),
+                cfg.model.hf_shape,
+            )
+            ref_tke_i = tke_field(hf_i.var(axis=0))
+            rey_ref_i = reynolds_stress_uv(hf_i, axes=(0,))
+            for tag, m in (("raw", m_i), ("cal", m_cal)):
+                # Pooled (ensemble x time) variance == the deployed
+                # total_variance(mean, var) construction exactly.
+                sm[f"tke_{tag}"] += float(
+                    relative_l2(tke_field(m.var(axis=(0, 1))), ref_tke_i)
+                )
+                sm[f"rey_{tag}"] += float(
+                    relative_l2(
+                        reynolds_stress_uv(m, axes=(0, 1)), rey_ref_i
+                    )
+                )
+            sm["tke_base"] += float(
+                relative_l2(tke_field(lf_up_i.var(axis=0)), ref_tke_i)
+            )
+            sm["rey_base"] += float(
+                relative_l2(
+                    reynolds_stress_uv(lf_up_i, axes=(0,)), rey_ref_i
+                )
+            )
+            base_fl_i = lf_up_i[..., :2] - lf_up_i[..., :2].mean(
+                0, keepdims=True
+            )
+            ref_fl_i = hf_i[..., :2] - hf_i[..., :2].mean(0, keepdims=True)
+            for c, cname in enumerate(("u", "v")):
+                ref_std_i = float(jnp.std(ref_fl_i[..., c])) + 1e-12
+                for tag, m in (("raw", m_i), ("cal", m_cal)):
+                    fl = m[..., :2] - m[..., :2].mean(
+                        axis=(0, 1), keepdims=True
+                    )
+                    sm[f"w1{cname}_{tag}"] += (
+                        float(wasserstein1(fl[..., c], ref_fl_i[..., c]))
+                        / ref_std_i
+                    )
+                sm[f"w1{cname}_base"] += (
+                    float(wasserstein1(base_fl_i[..., c], ref_fl_i[..., c]))
+                    / ref_std_i
+                )
             del m_i, m_cal
         n_rep = len(report_idx)
+        sm = {k: v / n_rep for k, v in sm.items()}
         cov_raw, cov_cal = cov_raw / n_rep, cov_cal / n_rep
         cov_q, cov_s1 = cov_q / n_rep, cov_s1 / n_rep
         calib.update(
             spread_scale=float(scale),
             calibration_in_sample=(not hold_idx),
+            # Holdout second-moment skill, raw vs calibrated dispersion
+            # (skill > 1 = beats the bicubic baseline on that metric).
+            tke_rel_l2_holdout_raw=sm["tke_raw"],
+            tke_rel_l2_holdout_calibrated=sm["tke_cal"],
+            baseline_tke_rel_l2_holdout=sm["tke_base"],
+            tke_skill_holdout_raw=skill(sm["tke_raw"], sm["tke_base"]),
+            tke_skill_holdout_calibrated=skill(
+                sm["tke_cal"], sm["tke_base"]
+            ),
+            reynolds_uv_rel_l2_holdout_raw=sm["rey_raw"],
+            reynolds_uv_rel_l2_holdout_calibrated=sm["rey_cal"],
+            baseline_reynolds_uv_rel_l2_holdout=sm["rey_base"],
+            reynolds_skill_holdout_calibrated=skill(
+                sm["rey_cal"], sm["rey_base"]
+            ),
+            pdf_w1_u_holdout_raw=sm["w1u_raw"],
+            pdf_w1_u_holdout_calibrated=sm["w1u_cal"],
+            baseline_pdf_w1_u_holdout=sm["w1u_base"],
+            pdf_w1_u_skill_holdout_calibrated=skill(
+                sm["w1u_cal"], sm["w1u_base"]
+            ),
+            pdf_w1_v_holdout_raw=sm["w1v_raw"],
+            pdf_w1_v_holdout_calibrated=sm["w1v_cal"],
+            baseline_pdf_w1_v_holdout=sm["w1v_base"],
+            pdf_w1_v_skill_holdout_calibrated=skill(
+                sm["w1v_cal"], sm["w1v_base"]
+            ),
             coverage_holdout_raw={
                 f"{q:.2f}": float(c)
                 for q, c in zip(_COVERAGE_LEVELS, np.asarray(cov_raw))

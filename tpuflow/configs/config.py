@@ -121,8 +121,12 @@ class DataConfig:
     # Synthetic fixture version (data/synthetic.py): 1 = spatial LF
     # degradation only (golden-pinned); 2 = LF is a coarse re-run with
     # growing temporal phase error + spectral truncation — the failure
-    # mode TM-Glow exists to correct. Ignored for real archives.
-    fixture_version: int = 1
+    # mode TM-Glow exists to correct (arXiv:2006.04731 §1-2's
+    # multi-fidelity premise). v2 is the DEFAULT posture for training,
+    # eval and the bench; the golden pins (tests/test_golden.py) call
+    # the generator with an explicit version and stay on v1. Ignored
+    # for real archives.
+    fixture_version: int = 2
     # Training-split loading strategy: "ram" loads the whole archive
     # (reference behaviour); "stream" serves trajectory batches from a
     # .tpf store via the native C++ loader with fused normalization

@@ -93,7 +93,7 @@ def make_ensemble_rollout(
     def rollout(variables, lf_traj, rng, temperature=temperature):
         # temperature is a runtime (traced) argument so sweeps over tau
         # (the paper's temperature study) reuse one compilation.
-        from tpuflow.models.tmglow import build_inv_caches
+        from tpuflow.models.tmglow import build_inv_caches, precast_net_params
 
         states = init_lstm_state(cfg, (n_samples,))
         if mesh is not None:
@@ -101,6 +101,13 @@ def make_ensemble_rollout(
         # Scan-invariant precomputation (see module docstring).
         inv_caches = build_inv_caches(cfg, variables)
         feats_traj = model.apply(variables, lf_traj, method=TMGlow.encode_lf)
+        # Fourth hoist: net weights pre-cast to the compute dtype OUTSIDE
+        # the scan, so the loop prefetches half the weight bytes per
+        # step (bit-identical — see precast_net_params). The fused
+        # Pallas path consumes biases in f32, so it keeps the original
+        # tree (a bf16 round-trip there would perturb the function).
+        if not cfg.use_pallas:
+            variables = precast_net_params(cfg, variables)
 
         def step(carry, feats_t):
             states, key = carry

@@ -28,8 +28,11 @@ share the net evaluation, so the invertibility contract is unaffected.
 
 Grid: 1-D over member tiles (TM members per cell, whole spatial plane
 per cell — no halo exchange). Scratch: one zero-bordered padded
-feature buffer (the SAME-conv padding) + one im2col staging buffer,
-both reused across layers.
+feature buffer (the SAME-conv padding) reused across layers; with
+STAGE_DX an additional (tm, h+2, w, pc) staging buffer holds each
+dx-slab behind an aligned DMA copy (v1's (M, 9*C_in) im2col scratch
+is gone — taps feed the MXU as lane-concatenated slices of the padded
+buffer directly).
 
 Gradients: jax.custom_vjp; backward recomputes through the XLA
 reference implementation (identical function), so training can use the
@@ -64,9 +67,16 @@ INTERPRET = False
 STAGE_DX = False
 
 # Perf-ablation switches (dev-only, wrong math when set): used by the
-# on-chip probe to attribute kernel time to components. Never set in
-# production paths.
-ABLATE: set = set()
+# on-chip probe (tools/ablate_fused.py) to attribute kernel time to
+# components. Never set in production paths.
+ABLATE: frozenset = frozenset()
+
+# NOTE on both switches: they are threaded into the kernel's static
+# config at fused_coupling CALL time (so they participate in _fused's
+# nondiff-arg identity), but a CALLER'S jit that traced fused_coupling
+# earlier will not retrace when they change — flip them only in a
+# fresh probe process (or jax.clear_caches() first). ABLATE produces
+# deliberately wrong math and must never be set in a serving process.
 
 # Per-cell VMEM working-set target (bytes) used to pick the member-tile
 # size TM. Conservative: v5e VMEM is ~16 MB minus double-buffered
@@ -79,7 +89,7 @@ def _taps():
 
 
 def _pick_tm(b: int, h: int, w: int, pc: int, net_bytes: int,
-             total_out: int) -> int:
+             total_out: int, stage_dx: bool = False) -> int:
     """Largest divisor of b whose per-cell working set fits the VMEM
     target.
 
@@ -88,14 +98,17 @@ def _pick_tm(b: int, h: int, w: int, pc: int, net_bytes: int,
     the live f32 values Mosaic keeps resident per position — the target
     accumulators (``total_out``), one in-flight joint output, the h0
     activation, and ~2 group-concat temporaries of 128 lanes in net
-    dtype. Calibrated on-chip (tm=4 at the flagship scale-0 shape
-    compiles with ~5 MB headroom; tm=8 overflows).
+    dtype; with ``stage_dx`` also the (tm, h+2, w, pc) staging scratch.
+    Calibrated on-chip (tm=4 at the flagship scale-0 shape compiles
+    with ~5 MB headroom; tm=8 overflows).
     """
     per_member = (
         (h + 2) * (w + 2) * pc * net_bytes
         + h * w * (2 * total_out + pc) * 4
         + h * w * 2 * 128 * net_bytes
     )
+    if stage_dx:
+        per_member += (h + 2) * w * pc * net_bytes
     tm = max(1, _VMEM_TARGET // max(per_member, 1))
     tm = min(tm, b)
     while b % tm:
@@ -125,6 +138,7 @@ def _kernel(
     width, growth = cfg["width"], cfg["growth"]
     nd = cfg["net_dtype"]
     reverse = cfg["reverse"]
+    ablate = cfg["ablate"]
     m = tm * h * w
     tgt_widths = [growth] * L + [2 * ca]
 
@@ -140,9 +154,9 @@ def _kernel(
     p_ref[...] = jnp.zeros(p_ref.shape, p_ref.dtype)
 
     def put(fmap_2d, cin, first=False):
-        if "no_put" in ABLATE and not first:
+        if "no_put" in ablate and not first:
             return
-        if "aligned_put" in ABLATE:
+        if "aligned_put" in ablate:
             p_ref[:, 1:h + 1, 0:w, :cin] = fmap_2d.reshape(tm, h, w, cin)
             return
         p_ref[:, 1:h + 1, 1:w + 1, :cin] = fmap_2d.reshape(tm, h, w, cin)
@@ -163,7 +177,7 @@ def _kernel(
         """
         acc = None
         for dx in range(3):
-            rdx = 0 if "aligned_reads" in ABLATE else dx
+            rdx = 0 if "aligned_reads" in ablate else dx
             if s_ref is not None:
                 s_ref[:, :, :, :cin] = p_ref[:, :, rdx:rdx + w, :cin]
                 vals = [s_ref[:, dy:dy + h, :, :cin] for dy in range(3)]
@@ -171,7 +185,7 @@ def _kernel(
                 vals = [p_ref[:, dy:dy + h, rdx:rdx + w, :cin]
                         for dy in range(3)]
             lhs = jnp.concatenate(vals, -1).reshape(m, 3 * cin)
-            if "no_matmul" in ABLATE:
+            if "no_matmul" in ablate:
                 nout = w_ref.shape[-1]
                 part = lhs[:, :nout].astype(jnp.float32) if 3 * cin >= nout \
                     else jnp.zeros((m, nout), jnp.float32)
@@ -248,7 +262,7 @@ def _fused_pallas(xa, xb, h0c, win0, b0, wjs, bj0, cfg: dict):
     pc = max(cb, width, growth)
     net_bytes = jnp.dtype(nd).itemsize
     total_out = L * growth + 2 * ca
-    tm = _pick_tm(b, h, w, pc, net_bytes, total_out)
+    tm = _pick_tm(b, h, w, pc, net_bytes, total_out, cfg["stage_dx"])
     grid = (b // tm,)
 
     def dx_major(wp, cin):
@@ -361,35 +375,43 @@ def xla_reference(xa, xb, h0c, win0, b0, wjs, bj0, cfg: dict):
 
 
 # cfg rides as a hashable static argument: custom_vjp needs nondiff
-# args hashable, pallas needs the dict — convert at the boundary.
-def _cfg(width, growth, layers, net_dtype, reverse):
+# args hashable, pallas needs the dict — convert at the boundary. The
+# dev switches (stage_dx, ablate) are explicit parameters so they are
+# part of _fused's nondiff-arg identity (ADVICE r2: module globals
+# read at trace time silently ran stale compiled code).
+def _cfg(width, growth, layers, net_dtype, reverse,
+         stage_dx=False, ablate=frozenset()):
     return {
         "width": width,
         "growth": growth,
         "layers": layers,
         "net_dtype": net_dtype,
         "reverse": reverse,
-        "stage_dx": STAGE_DX,
+        "stage_dx": stage_dx,
+        "ablate": ablate,
     }
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13)
+)
 def _fused(xa, xb, h0c, win0, b0, wjs, bj0,
-           width, growth, layers, net_dtype, reverse):
+           width, growth, layers, net_dtype, reverse, stage_dx, ablate):
     return _fused_pallas(
         xa, xb, h0c, win0, b0, wjs, bj0,
-        _cfg(width, growth, layers, net_dtype, reverse),
+        _cfg(width, growth, layers, net_dtype, reverse, stage_dx, ablate),
     )
 
 
 def _fused_fwd(xa, xb, h0c, win0, b0, wjs, bj0,
-               width, growth, layers, net_dtype, reverse):
+               width, growth, layers, net_dtype, reverse, stage_dx, ablate):
     out = _fused(xa, xb, h0c, win0, b0, wjs, bj0,
-                 width, growth, layers, net_dtype, reverse)
+                 width, growth, layers, net_dtype, reverse, stage_dx, ablate)
     return out, (xa, xb, h0c, win0, b0, wjs, bj0)
 
 
-def _fused_bwd(width, growth, layers, net_dtype, reverse, res, cts):
+def _fused_bwd(width, growth, layers, net_dtype, reverse, stage_dx,
+               ablate, res, cts):
     """Backward = differentiate the XLA reference (same function).
     Recompute costs one forward; a Pallas backward is a follow-up."""
     xa, xb, h0c, win0, b0, wjs, bj0 = res
@@ -463,7 +485,8 @@ def fused_coupling(
 
     if fused_available():
         y, ld = _fused(xa2, xb2, h0c2, win0_p, b0_2, wjs_p, bj0_2,
-                       width, growth, layers, net_dtype, reverse)
+                       width, growth, layers, net_dtype, reverse,
+                       STAGE_DX, frozenset(ABLATE))
     else:
         y, ld = xla_reference(
             xa2, xb2, h0c2, win0_p, b0_2, wjs_p, bj0_2,

@@ -70,6 +70,44 @@ def build_inv_caches(
     return caches
 
 
+def precast_net_params(cfg: ModelConfig, variables: dict) -> dict:
+    """Cast every NETWORK parameter to the compute dtype, once.
+
+    Every net conv in the model (coupling/encoder/ConvLSTM/prior) casts
+    its kernel with ``kernel.astype(compute_dtype)`` at use, so under a
+    ``lax.scan`` the loop prefetches the FULL-precision weights from
+    HBM every iteration and casts in-loop — profiled at ~300 f32
+    weight-prefetch copies per rollout step behind a ~1.5 ms exposed
+    stall (docs/PERF_NOTES.md "async copies"). Casting the parameter
+    pytree BEFORE the scan stores bf16 weights in HBM and halves those
+    prefetch bytes; the in-loop ``astype`` becomes a no-op, so results
+    are BIT-IDENTICAL (same cast, applied earlier).
+
+    Flow-ARITHMETIC parameters are exempt and stay f32: actnorm
+    scale/bias and inv-1x1 LU factors participate in the invertibility
+    contract directly (not through a net output) and are consumed in
+    f32 (SURVEY.md §7 hard part 1).
+
+    No-op when compute_dtype is float32.
+    """
+    dtype = jnp.dtype(cfg.compute_dtype)
+    if dtype == jnp.float32:
+        return variables
+
+    def cast(path, leaf):
+        keys = {getattr(k, "key", None) for k in path}
+        if keys & {"actnorm", "invconv"}:
+            return leaf
+        return leaf.astype(dtype) if leaf.dtype == jnp.float32 else leaf
+
+    return {
+        **variables,
+        "params": jax.tree_util.tree_map_with_path(
+            cast, variables["params"]
+        ),
+    }
+
+
 def init_lstm_state(cfg: ModelConfig, batch_shape: tuple[int, ...]) -> LSTMState:
     """Zero ConvLSTM state pytree for a batch (pure function of config,
     no parameters — matches the reference's state init, SURVEY.md §3.1).

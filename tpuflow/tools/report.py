@@ -87,26 +87,94 @@ def build_report(out_dir: pathlib.Path, case: str) -> str:
         "",
         "## Held-out likelihood and physics",
         "",
-        "| metric | value |",
-        "|---|---|",
+        "Every metric family prints model vs the trivial bicubic LF-"
+        "upsampling baseline side by side (skill > 1 = model beats it; "
+        "— = no baseline defined for that metric).",
+        "",
+        "| metric | model | baseline | skill |",
+        "|---|---|---|---|",
     ]
+
+    def _skill_row(label, key, base_key, skill_key=None):
+        """One table row; skill falls back to baseline/model when no
+        precomputed ratio exists (both are error-like: lower better)."""
+        if key not in m:
+            return None
+        model_v = m[key]
+        if base_key and base_key in m:
+            base_v = m[base_key]
+            s = m.get(skill_key) if skill_key else None
+            if s is None and isinstance(model_v, float) and model_v > 0:
+                s = base_v / model_v
+            return (
+                f"| {label} | {_fmt(model_v)} | {_fmt(base_v)} | "
+                f"{_fmt(s) if s is not None else '—'} |"
+            )
+        return f"| {label} | {_fmt(model_v)} | — | — |"
+
     physics = [
-        ("test NLL (bits/dim)", "test_bpd"),
-        ("field rel-L2 (ensemble mean vs HF)", "field_rel_l2_mean"),
-        ("TKE rel-L2", "tke_rel_l2_mean"),
-        ("vorticity rel-L2", "vorticity_rel_l2_mean"),
-        ("divergence RMS ratio (pred/HF)", "divergence_rms_ratio"),
-        ("energy-spectrum log rel-L2", "spectrum_rel_l2"),
-        ("ensemble CRPS", "crps_mean"),
-        ("skewness MAE", "skew_mae"),
-        ("kurtosis MAE", "kurt_mae"),
-        ("Reynolds <u'v'> rel-L2", "reynolds_uv_rel_l2"),
-        ("u' PDF Wasserstein-1 / std", "pdf_w1_u"),
-        ("v' PDF Wasserstein-1 / std", "pdf_w1_v"),
+        ("test NLL (bits/dim)", "test_bpd", None, None),
+        ("field rel-L2 (ensemble mean vs HF)", "field_rel_l2_mean",
+         "baseline_field_rel_l2_mean", "field_skill_vs_baseline"),
+        ("TKE rel-L2", "tke_rel_l2_mean",
+         "baseline_tke_rel_l2_mean", "tke_skill_vs_baseline"),
+        ("vorticity rel-L2", "vorticity_rel_l2_mean",
+         "baseline_vorticity_rel_l2_mean", "vorticity_skill_vs_baseline"),
+        ("divergence RMS ratio (pred/HF)", "divergence_rms_ratio",
+         None, None),
+        ("energy-spectrum log rel-L2", "spectrum_rel_l2",
+         "baseline_spectrum_rel_l2", None),
+        ("ensemble CRPS", "crps_mean", None, None),
+        ("skewness MAE", "skew_mae", None, None),
+        ("kurtosis MAE", "kurt_mae", None, None),
+        ("Reynolds <u'v'> rel-L2", "reynolds_uv_rel_l2",
+         None, None),
+        ("u' PDF Wasserstein-1 / std", "pdf_w1_u",
+         "baseline_pdf_w1_u", None),
+        ("v' PDF Wasserstein-1 / std", "pdf_w1_v",
+         "baseline_pdf_w1_v", None),
     ]
-    for label, key in physics:
-        if key in m:
-            lines.append(f"| {label} | {_fmt(m[key])} |")
+    for row in physics:
+        line = _skill_row(*row)
+        if line:
+            lines.append(line)
+
+    # Holdout second-moment section: the variance-derived statistics
+    # (BASELINE config #4's point) scored raw vs spread-calibrated on
+    # the holdout trajectories, always with the baseline column.
+    if "tke_rel_l2_holdout_calibrated" in m:
+        lines += [
+            "",
+            "## Second moments on the holdout split "
+            "(raw vs calibrated dispersion)",
+            "",
+            "Spread scale fit on the disjoint even-indexed test "
+            "trajectories; scored on the odd-indexed ones "
+            f"(spread_scale {_fmt(m.get('spread_scale', float('nan')))}).",
+            "",
+            "| metric | raw | calibrated | baseline | skill (cal) |",
+            "|---|---|---|---|---|",
+        ]
+        for label, stem in (
+            ("TKE rel-L2", "tke_rel_l2"),
+            ("Reynolds <u'v'> rel-L2", "reynolds_uv_rel_l2"),
+            ("u' PDF W1 / std", "pdf_w1_u"),
+            ("v' PDF W1 / std", "pdf_w1_v"),
+        ):
+            skey = {
+                "tke_rel_l2": "tke_skill_holdout_calibrated",
+                "reynolds_uv_rel_l2": "reynolds_skill_holdout_calibrated",
+                "pdf_w1_u": "pdf_w1_u_skill_holdout_calibrated",
+                "pdf_w1_v": "pdf_w1_v_skill_holdout_calibrated",
+            }[stem]
+            if f"{stem}_holdout_raw" not in m:
+                continue
+            lines.append(
+                f"| {label} | {_fmt(m[f'{stem}_holdout_raw'])} | "
+                f"{_fmt(m[f'{stem}_holdout_calibrated'])} | "
+                f"{_fmt(m[f'baseline_{stem}_holdout'])} | "
+                f"{_fmt(m.get(skey, float('nan')))} |"
+            )
     lines += ["", "## UQ calibration", ""]
     cov = _coverage_table(m)
     if cov:
