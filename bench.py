@@ -54,7 +54,7 @@ _WATCHDOG_S = 1390
 # Latest wall-clock (seconds since start) at which each secondary
 # section may START; a section past its deadline is skipped with an
 # explicit marker instead of risking the record already in hand.
-_SECTION_START_DEADLINE_S = {"train": 700, "cylinder": 1000, "pallas": 1240}
+_SECTION_START_DEADLINE_S = {"train": 700, "pallas": 1000, "cylinder": 1150}
 
 # CPU-reference throughput for the identical model/config (100-step,
 # 64-sample backward-step ensemble on the host CPU) — the BASELINE.md

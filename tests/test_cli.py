@@ -104,6 +104,9 @@ def test_cli_train_rollout_evaluate_pipeline(tmp_path):
         "pdf_w1_u_holdout_raw", "pdf_w1_u_holdout_calibrated",
         "baseline_pdf_w1_u_holdout", "pdf_w1_u_skill_holdout_calibrated",
         "pdf_w1_v_skill_holdout_calibrated",
+        "tke_rel_l2_holdout_fieldcal", "tke_skill_holdout_fieldcal",
+        "pdf_w1_u_skill_holdout_fieldcal", "pdf_w1_v_skill_holdout_fieldcal",
+        "reynolds_skill_holdout_fieldcal",
     ):
         assert np.isfinite(emetrics[k]) and emetrics[k] > 0, k
 

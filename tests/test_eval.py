@@ -558,3 +558,44 @@ def test_interval_scales_heavy_tails():
     assert cov_s[0] > levels[0] + 0.05
     lv = np.asarray(levels)
     assert np.abs(cov_new - lv).max() < np.abs(cov_s - lv).max()
+
+
+def test_spread_field_recovers_spatial_structure():
+    """A per-location inflation field recovers a KNOWN spatially varying
+    underdispersion pattern (scalar fit cannot), is shrunk toward the
+    global factor at low sample counts, and is clipped at degenerate
+    locations (calibrate.fit_spread_field_from_z contract)."""
+    from tpuflow.eval.calibrate import (
+        ensemble_zscores,
+        fit_spread_field_from_z,
+        fit_spread_scale_from_z,
+    )
+
+    rng = np.random.default_rng(11)
+    h, w, n, t = 12, 10, 96, 64
+    # True inflation factor varies over the left/right halves.
+    true = np.where(np.arange(w)[None, :] < w // 2, 3.0, 1.0)[..., None]
+    true = np.broadcast_to(true, (h, w, 1)).astype(np.float32)
+    members = (rng.normal(size=(n, t, h, w, 1)) / true).astype(np.float32)
+    ref = rng.normal(size=(t, h, w, 1)).astype(np.float32)
+    z = ensemble_zscores(jnp.asarray(members), jnp.asarray(ref))  # (t,h,w,1)
+    s_field = np.asarray(fit_spread_field_from_z(jnp.asarray(z)))
+    assert s_field.shape == (h, w, 1)
+    # Halves separate cleanly; the scalar fit lands uselessly between.
+    left, right = s_field[:, : w // 2].mean(), s_field[:, w // 2 :].mean()
+    assert abs(left - 3.0) / 3.0 < 0.15, left
+    assert abs(right - 1.0) < 0.25, right
+    s_scalar = float(fit_spread_scale_from_z(jnp.asarray(z).ravel()))
+    assert 1.4 < s_scalar < 2.6
+
+    # Shrinkage: with very few pooled samples the field hugs the global.
+    s_few = np.asarray(
+        fit_spread_field_from_z(jnp.asarray(z[:1]), prior_weight=64.0)
+    )
+    assert s_few.std() < s_field.std()
+
+    # Clipping: a degenerate location (huge z) saturates at the bound.
+    z_deg = np.asarray(z).copy()
+    z_deg[:, 0, 0, 0] = 1e6
+    s_deg = np.asarray(fit_spread_field_from_z(jnp.asarray(z_deg)))
+    assert s_deg[0, 0, 0] == 6.0  # default clip hi

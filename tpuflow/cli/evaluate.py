@@ -22,6 +22,7 @@ from tpuflow.data.dataset import load_dataset
 from tpuflow.eval.calibrate import (
     ensemble_zscores,
     fit_interval_scales_from_z,
+    fit_spread_field_from_z,
     fit_spread_scale_from_z,
     scale_members,
     scaled_interval_coverage,
@@ -303,11 +304,23 @@ def main(argv=None) -> dict:
         z_pool = []
         for i in fit_idx:
             m_i, hf_i = (members, hf0) if i == 0 else _members_for(i)
-            z_pool.append(np.asarray(ensemble_zscores(m_i, hf_i)).ravel())
+            # Keep the FIELD structure (T, H, W, C): the scalar and
+            # interval fits ravel below; the per-location field fit
+            # needs the spatial axes.
+            z_pool.append(np.asarray(ensemble_zscores(m_i, hf_i)))
             del m_i
-        z_f = jnp.asarray(np.concatenate(z_pool))
+        z_fields = jnp.asarray(np.concatenate(z_pool, axis=0))
         del z_pool
+        z_f = z_fields.ravel()
         scale = fit_spread_scale_from_z(z_f)
+        # Per-location inflation field (calibrate.py): fixes the spread
+        # map's spatial structure, not just its magnitude; shrunk
+        # toward the scalar fit and clipped (degenerate masked points).
+        s_field = fit_spread_field_from_z(z_fields)
+        del z_fields
+        # Deployable artifact: cli/rollout consumes it via
+        # eval.spread_field=<path> (var * s_field^2).
+        np.save(out_dir / "spread_field.npy", np.asarray(s_field))
         # Per-level interval recalibration: one spread factor only
         # calibrates every level for Gaussian z; measured residuals are
         # heavy-tailed, so each level gets its own factor s_q (fit on
@@ -315,8 +328,8 @@ def main(argv=None) -> dict:
         iscales = fit_interval_scales_from_z(z_f, levels=_COVERAGE_LEVELS)
         del z_f
 
-        cov_raw = cov_cal = cov_q = cov_s1 = 0.0
-        crps_raw = crps_cal = 0.0
+        cov_raw = cov_cal = cov_fld = cov_q = cov_s1 = 0.0
+        crps_raw = crps_cal = crps_fld = 0.0
         # Second-moment physics on the HOLDOUT trajectories, scored
         # three ways on the identical t_cal horizon: raw ensemble,
         # spread-calibrated ensemble (scale fit on the DISJOINT even
@@ -329,20 +342,23 @@ def main(argv=None) -> dict:
         sm = {
             k: 0.0
             for k in (
-                "tke_raw", "tke_cal", "tke_base",
-                "rey_raw", "rey_cal", "rey_base",
-                "w1u_raw", "w1u_cal", "w1u_base",
-                "w1v_raw", "w1v_cal", "w1v_base",
+                "tke_raw", "tke_cal", "tke_fld", "tke_base",
+                "rey_raw", "rey_cal", "rey_fld", "rey_base",
+                "w1u_raw", "w1u_cal", "w1u_fld", "w1u_base",
+                "w1v_raw", "w1v_cal", "w1v_fld", "w1v_base",
             )
         }
         report_idx = hold_idx or [0]  # in-sample fallback for 1 traj
         for i in report_idx:
             m_i, hf_i = (members, hf0) if i == 0 else _members_for(i)
             m_cal = scale_members(m_i, scale)
+            m_fld = scale_members(m_i, s_field)
             cov_raw += ensemble_coverage(m_i, hf_i, levels=_COVERAGE_LEVELS)
             cov_cal += ensemble_coverage(m_cal, hf_i, levels=_COVERAGE_LEVELS)
+            cov_fld += ensemble_coverage(m_fld, hf_i, levels=_COVERAGE_LEVELS)
             crps_raw += float(np.mean(np.asarray(ensemble_crps(m_i, hf_i))))
             crps_cal += float(np.mean(np.asarray(ensemble_crps(m_cal, hf_i))))
+            crps_fld += float(np.mean(np.asarray(ensemble_crps(m_fld, hf_i))))
             mu_i, var_i = m_i.mean(axis=0), m_i.var(axis=0)
             cov_q += scaled_interval_coverage(
                 mu_i, var_i, hf_i, iscales, levels=_COVERAGE_LEVELS
@@ -364,7 +380,7 @@ def main(argv=None) -> dict:
             )
             ref_tke_i = tke_field(hf_i.var(axis=0))
             rey_ref_i = reynolds_stress_uv(hf_i, axes=(0,))
-            for tag, m in (("raw", m_i), ("cal", m_cal)):
+            for tag, m in (("raw", m_i), ("cal", m_cal), ("fld", m_fld)):
                 # Pooled (ensemble x time) variance == the deployed
                 # total_variance(mean, var) construction exactly.
                 sm[f"tke_{tag}"] += float(
@@ -389,7 +405,7 @@ def main(argv=None) -> dict:
             ref_fl_i = hf_i[..., :2] - hf_i[..., :2].mean(0, keepdims=True)
             for c, cname in enumerate(("u", "v")):
                 ref_std_i = float(jnp.std(ref_fl_i[..., c])) + 1e-12
-                for tag, m in (("raw", m_i), ("cal", m_cal)):
+                for tag, m in (("raw", m_i), ("cal", m_cal), ("fld", m_fld)):
                     fl = m[..., :2] - m[..., :2].mean(
                         axis=(0, 1), keepdims=True
                     )
@@ -401,10 +417,11 @@ def main(argv=None) -> dict:
                     float(wasserstein1(base_fl_i[..., c], ref_fl_i[..., c]))
                     / ref_std_i
                 )
-            del m_i, m_cal
+            del m_i, m_cal, m_fld
         n_rep = len(report_idx)
         sm = {k: v / n_rep for k, v in sm.items()}
         cov_raw, cov_cal = cov_raw / n_rep, cov_cal / n_rep
+        cov_fld = cov_fld / n_rep
         cov_q, cov_s1 = cov_q / n_rep, cov_s1 / n_rep
         calib.update(
             spread_scale=float(scale),
@@ -436,6 +453,28 @@ def main(argv=None) -> dict:
             pdf_w1_v_skill_holdout_calibrated=skill(
                 sm["w1v_cal"], sm["w1v_base"]
             ),
+            # Per-location spread-field calibration (the "fld" column):
+            # same disjoint fit/holdout protocol, field deploys via
+            # eval.spread_field (saved as spread_field.npy below).
+            tke_rel_l2_holdout_fieldcal=sm["tke_fld"],
+            tke_skill_holdout_fieldcal=skill(sm["tke_fld"], sm["tke_base"]),
+            reynolds_uv_rel_l2_holdout_fieldcal=sm["rey_fld"],
+            reynolds_skill_holdout_fieldcal=skill(
+                sm["rey_fld"], sm["rey_base"]
+            ),
+            pdf_w1_u_holdout_fieldcal=sm["w1u_fld"],
+            pdf_w1_u_skill_holdout_fieldcal=skill(
+                sm["w1u_fld"], sm["w1u_base"]
+            ),
+            pdf_w1_v_holdout_fieldcal=sm["w1v_fld"],
+            pdf_w1_v_skill_holdout_fieldcal=skill(
+                sm["w1v_fld"], sm["w1v_base"]
+            ),
+            spread_field_stats={
+                "min": float(s_field.min()),
+                "max": float(s_field.max()),
+                "mean": float(s_field.mean()),
+            },
             coverage_holdout_raw={
                 f"{q:.2f}": float(c)
                 for q, c in zip(_COVERAGE_LEVELS, np.asarray(cov_raw))
@@ -444,8 +483,13 @@ def main(argv=None) -> dict:
                 f"{q:.2f}": float(c)
                 for q, c in zip(_COVERAGE_LEVELS, np.asarray(cov_cal))
             },
+            coverage_holdout_fieldcal={
+                f"{q:.2f}": float(c)
+                for q, c in zip(_COVERAGE_LEVELS, np.asarray(cov_fld))
+            },
             crps_holdout_raw=crps_raw / n_rep,
             crps_holdout_recalibrated=crps_cal / n_rep,
+            crps_holdout_fieldcal=crps_fld / n_rep,
             interval_scales={
                 f"{q:.2f}": float(s)
                 for q, s in zip(_COVERAGE_LEVELS, np.asarray(iscales))

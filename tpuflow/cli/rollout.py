@@ -104,11 +104,22 @@ def main(argv=None) -> dict:
     # profiles, saved var_calibrated); physics statistics (TKE) stay on
     # the raw ensemble variance — the model's turbulent fluctuation is
     # a physical quantity, not an uncertainty estimate.
-    var_cal = var * cfg.eval.spread_scale**2
+    if cfg.eval.spread_field:
+        # Per-location inflation field (calibrate.py) beats the scalar
+        # when set — same deployment contract, structured factors.
+        s_field = np.load(cfg.eval.spread_field)
+        if s_field.shape != var.shape[-3:]:
+            raise ValueError(
+                f"eval.spread_field shape {s_field.shape} does not match "
+                f"the (H, W, C) field shape {var.shape[-3:]}"
+            )
+        var_cal = var * s_field**2
+    else:
+        var_cal = var * cfg.eval.spread_scale**2
     hf_phys = ds.denorm_hf(hf_traj)
     lf_phys = ds.denorm_lf(lf_traj)
     stats_out = {"mean": mean, "var": var}
-    if cfg.eval.spread_scale != 1.0:
+    if cfg.eval.spread_field or cfg.eval.spread_scale != 1.0:
         stats_out["var_calibrated"] = var_cal
     np.savez_compressed(out_dir / "rollout_stats.npz", **stats_out)
 

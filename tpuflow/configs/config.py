@@ -210,6 +210,11 @@ class EvalConfig:
     # report var * spread_scale**2. Fit with cli/evaluate.py (the
     # "spread_scale" metric); 1.0 = raw ensemble dispersion.
     spread_scale: float = 1.0
+    # Per-location inflation FIELD: path to the spread_field.npy that
+    # cli/evaluate.py saves ((H, W, C) factors; calibrate.py
+    # fit_spread_field_from_z). When set, deployed variance surfaces
+    # use var * field**2 (overrides the scalar). "" = off.
+    spread_field: str = ""
     # Trajectories per batched-rollout dispatch in cli/evaluate.py —
     # bounds peak activation memory at traj_batch * n_samples members.
     traj_batch: int = 4

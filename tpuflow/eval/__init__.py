@@ -6,6 +6,7 @@ from tpuflow.eval.calibrate import (
     ensemble_zscores,
     fit_interval_scales,
     fit_interval_scales_from_z,
+    fit_spread_field_from_z,
     fit_spread_scale,
     fit_spread_scale_from_z,
     scale_members,
@@ -38,6 +39,7 @@ __all__ = [
     "make_ensemble_rollout",
     "make_batched_ensemble_rollout",
     "make_nll_eval",
+    "fit_spread_field_from_z",
     "fit_spread_scale",
     "fit_spread_scale_from_z",
     "fit_interval_scales",

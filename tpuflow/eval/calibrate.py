@@ -58,6 +58,45 @@ def fit_spread_scale_from_z(z: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.mean(z * z))
 
 
+def fit_spread_field_from_z(
+    z_stack: jnp.ndarray,
+    prior_weight: float = 8.0,
+    clip: tuple[float, float] = (0.25, 6.0),
+) -> jnp.ndarray:
+    """Per-location spread inflation FIELD from pooled z-score fields.
+
+    A single scalar factor fixes the ensemble's overall dispersion but
+    not its spatial structure: measured TM-Glow variance maps misplace
+    spread between the shear layers and the freestream, which a global
+    factor cannot correct (the r2 converged eval: calibrated TKE error
+    0.275 vs bicubic 0.158 — structure, not magnitude, is what's left).
+    Per-location moment matching is the standard refinement in the
+    ensemble-postprocessing literature (NGR/EMOS fit per grid point);
+    it stays deployment-honest exactly like the scalar: fit on the
+    disjoint fit split, scored on holdout, deployed as
+    ``var * s(h, w, c)^2``.
+
+    Args:
+      z_stack: (M, *field) pooled z-score fields — M = fit-split
+        timesteps x trajectories stacked on axis 0 (each element an
+        ``ensemble_zscores`` output slice).
+      prior_weight: pseudo-sample count shrinking each location toward
+        the GLOBAL scale (the scalar fit) — low-signal locations must
+        not chase noise.
+      clip: hard bounds on the factor. Degenerate locations (masked
+        solid regions: ensemble std ~ 0 against a constant reference)
+        produce unbounded z; bounded inflation keeps the deployed
+        field physical.
+
+    Returns: (*field,) array of per-location factors.
+    """
+    z2 = z_stack.astype(jnp.float32) ** 2
+    n = z2.shape[0]
+    g2 = jnp.mean(z2)  # global scalar fit (squared), the shrink target
+    s2 = (z2.sum(axis=0) + prior_weight * g2) / (n + prior_weight)
+    return jnp.clip(jnp.sqrt(s2), *clip)
+
+
 def fit_spread_scale(
     members: jnp.ndarray, ref: jnp.ndarray, axis: int = 0
 ) -> jnp.ndarray:

@@ -152,8 +152,9 @@ def build_report(out_dir: pathlib.Path, case: str) -> str:
             "trajectories; scored on the odd-indexed ones "
             f"(spread_scale {_fmt(m.get('spread_scale', float('nan')))}).",
             "",
-            "| metric | raw | calibrated | baseline | skill (cal) |",
-            "|---|---|---|---|---|",
+            "| metric | raw | calibrated | field-cal | baseline | "
+            "skill (cal) | skill (field) |",
+            "|---|---|---|---|---|---|---|",
         ]
         for label, stem in (
             ("TKE rel-L2", "tke_rel_l2"),
@@ -161,19 +162,23 @@ def build_report(out_dir: pathlib.Path, case: str) -> str:
             ("u' PDF W1 / std", "pdf_w1_u"),
             ("v' PDF W1 / std", "pdf_w1_v"),
         ):
-            skey = {
-                "tke_rel_l2": "tke_skill_holdout_calibrated",
-                "reynolds_uv_rel_l2": "reynolds_skill_holdout_calibrated",
-                "pdf_w1_u": "pdf_w1_u_skill_holdout_calibrated",
-                "pdf_w1_v": "pdf_w1_v_skill_holdout_calibrated",
+            sstem = {
+                "tke_rel_l2": "tke_skill_holdout",
+                "reynolds_uv_rel_l2": "reynolds_skill_holdout",
+                "pdf_w1_u": "pdf_w1_u_skill_holdout",
+                "pdf_w1_v": "pdf_w1_v_skill_holdout",
             }[stem]
             if f"{stem}_holdout_raw" not in m:
                 continue
+            fld = m.get(f"{stem}_holdout_fieldcal")
+            fskill = m.get(f"{sstem}_fieldcal")
             lines.append(
                 f"| {label} | {_fmt(m[f'{stem}_holdout_raw'])} | "
                 f"{_fmt(m[f'{stem}_holdout_calibrated'])} | "
+                f"{_fmt(fld) if fld is not None else '—'} | "
                 f"{_fmt(m[f'baseline_{stem}_holdout'])} | "
-                f"{_fmt(m.get(skey, float('nan')))} |"
+                f"{_fmt(m.get(f'{sstem}_calibrated', float('nan')))} | "
+                f"{_fmt(fskill) if fskill is not None else '—'} |"
             )
     lines += ["", "## UQ calibration", ""]
     cov = _coverage_table(m)
