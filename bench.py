@@ -51,6 +51,12 @@ import numpy as np
 # second net if the driver's timeout wins the race.
 _WATCHDOG_S = 1390
 
+# Extra time the watchdog grants the PRIMARY section after emitting its
+# placeholder (see _watchdog): the placeholder guarantees the driver a
+# parseable record, the grace window lets a just-late compile supersede
+# it with the real number.
+_WATCHDOG_GRACE_S = 200
+
 # Latest wall-clock (seconds since start) at which each secondary
 # section may START; a section past its deadline is skipped with an
 # explicit marker instead of risking the record already in hand.
@@ -97,16 +103,26 @@ def _watchdog():
         file=sys.stderr,
         flush=True,
     )
-    have_value = "value" in RESULT
-    if not have_value:
+    if "value" not in RESULT:
+        # The primary compile can take 1100s+ on a bad day (observed
+        # round 1) and may be seconds from finishing: emit a parseable
+        # placeholder now (the driver's record floor), then grant one
+        # grace window before dying — a just-late compile lands the
+        # real number as a later (superseding) JSON line.
         RESULT.setdefault("metric", "rollout_steps_per_sec_chip_bstep64")
         RESULT.setdefault("value", None)
         RESULT.setdefault(
             "unit", "steps/s [WATCHDOG: primary section never completed]"
         )
         RESULT.setdefault("vs_baseline", None)
+        _emit()
+        time.sleep(_WATCHDOG_GRACE_S)
+        if RESULT.get("value") is not None:
+            os._exit(0)  # grace window won: real record already emitted
+        _emit()
+        os._exit(70)
     _emit()
-    os._exit(0 if have_value else 70)
+    os._exit(0)
 
 
 def _section_ok(name: str) -> bool:

@@ -67,7 +67,13 @@ def test_cli_train_rollout_evaluate_pipeline(tmp_path):
     assert stats["mean"].shape[0] == 12  # full-horizon prediction saved
     assert (out_dir / "vorticity_t0007.png").exists()  # t_ref-1 = 7
 
-    emetrics = evaluate_main(_overrides(tmp_path) + ["eval.calibration_steps=4"])
+    # eval.ref_steps: variance-statistic references from the generator's
+    # extended trajectories (converged statistics; see config docstring).
+    emetrics = evaluate_main(
+        _overrides(tmp_path)
+        + ["eval.calibration_steps=4", "eval.ref_steps=24"]
+    )
+    assert emetrics["ref_steps"] == 24
     assert np.isfinite(emetrics["test_bpd"])
     assert np.isfinite(emetrics["tke_rel_l2_mean"])
     assert np.isfinite(emetrics["crps_mean"])

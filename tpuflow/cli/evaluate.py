@@ -110,6 +110,28 @@ def main(argv=None) -> dict:
     base_field_errs, base_tke_errs, base_vort_errs = [], [], []
     tke_pred_sum = tke_ref_sum = None
     vort_fig = None
+
+    # Long-horizon reference for variance-derived statistics
+    # (eval.ref_steps; see the config docstring for the sampling-noise
+    # motivation). Trajectory-matched quantities (field error,
+    # vorticity, divergence, coverage/CRPS/z-scores) keep the rollout-
+    # horizon reference — they compare like horizon with like.
+    ref_steps = cfg.eval.ref_steps
+    hf_ref_long = None
+    if cfg.data.synthetic and ref_steps > T:
+        from tpuflow.data import generate_case
+
+        _, hf_long = generate_case(
+            cfg.data.case, ds.n_traj, ref_steps,
+            cfg.model.hf_shape, cfg.model.lf_shape,
+            seed=cfg.data.seed + 10_000,
+            fixture_version=cfg.data.fixture_version,
+        )
+        # The generator emits PHYSICAL units (load_dataset's test split
+        # is the same call, then normalized; denorm round-trips it).
+        hf_ref_long = hf_long
+    else:
+        ref_steps = T
     for i in range(ds.n_traj):
         mean = jnp.asarray(ds.denorm_hf(means[i]))
         var = jnp.asarray(ds.denorm_hf_var(vars_[i]))
@@ -128,7 +150,10 @@ def main(argv=None) -> dict:
         # knob, so setting it from this same eval cannot leak.
         s2 = cfg.eval.spread_scale ** 2
         tke_pred = tke_field(total_variance(mean, var * s2))
-        tke_ref = tke_field(hf.var(axis=0))
+        hf_ref_i = (
+            jnp.asarray(hf_ref_long[i]) if hf_ref_long is not None else hf
+        )
+        tke_ref = tke_field(hf_ref_i.var(axis=0))
         tke_errs.append(float(relative_l2(tke_pred, tke_ref)))
         mean_errs.append(float(relative_l2(mean, hf)))
         var_mean.append(float(var.mean()))
@@ -207,7 +232,12 @@ def main(argv=None) -> dict:
         pred_fluct = members[..., :2] - members[..., :2].mean(
             axis=(0, 1), keepdims=True
         )
-        ref_fluct = jnp.asarray(hf0[..., :2] - hf0[..., :2].mean(0, keepdims=True))
+        hf0_ref = (
+            jnp.asarray(hf_ref_long[0]) if hf_ref_long is not None else hf0
+        )
+        ref_fluct = jnp.asarray(
+            hf0_ref[..., :2] - hf0_ref[..., :2].mean(0, keepdims=True)
+        )
         spec_domain = (cfg.data.domain_y, cfg.data.domain_x)
         k_bins, e_pred = energy_spectrum(pred_fluct, spec_domain, taper=True)
         _, e_ref = energy_spectrum(ref_fluct, spec_domain, taper=True)
@@ -378,8 +408,15 @@ def main(argv=None) -> dict:
                 jnp.asarray(ds.denorm_lf(ds.lf[i, :t_cal])),
                 cfg.model.hf_shape,
             )
-            ref_tke_i = tke_field(hf_i.var(axis=0))
-            rey_ref_i = reynolds_stress_uv(hf_i, axes=(0,))
+            # Variance-statistic references on the eval.ref_steps
+            # horizon (falls back to the t_cal window reference).
+            hf_ref_i = (
+                jnp.asarray(hf_ref_long[i])
+                if hf_ref_long is not None
+                else hf_i
+            )
+            ref_tke_i = tke_field(hf_ref_i.var(axis=0))
+            rey_ref_i = reynolds_stress_uv(hf_ref_i, axes=(0,))
             for tag, m in (("raw", m_i), ("cal", m_cal), ("fld", m_fld)):
                 # Pooled (ensemble x time) variance == the deployed
                 # total_variance(mean, var) construction exactly.
@@ -402,7 +439,9 @@ def main(argv=None) -> dict:
             base_fl_i = lf_up_i[..., :2] - lf_up_i[..., :2].mean(
                 0, keepdims=True
             )
-            ref_fl_i = hf_i[..., :2] - hf_i[..., :2].mean(0, keepdims=True)
+            ref_fl_i = hf_ref_i[..., :2] - hf_ref_i[..., :2].mean(
+                0, keepdims=True
+            )
             for c, cname in enumerate(("u", "v")):
                 ref_std_i = float(jnp.std(ref_fl_i[..., c])) + 1e-12
                 for tag, m in (("raw", m_i), ("cal", m_cal), ("fld", m_fld)):
@@ -555,6 +594,7 @@ def main(argv=None) -> dict:
         "tke_rel_l2_per_traj": [float(e) for e in tke_errs],
         "n_test_traj": ds.n_traj,
         "steps": T,
+        "ref_steps": ref_steps,
         "n_samples": cfg.eval.n_samples,
         "backend": jax.default_backend(),
         **calib,

@@ -215,6 +215,18 @@ class EvalConfig:
     # fit_spread_field_from_z). When set, deployed variance surfaces
     # use var * field**2 (overrides the scalar). "" = off.
     spread_field: str = ""
+    # Reference horizon for VARIANCE-derived statistics (TKE, Reynolds
+    # stress, fluctuation PDFs) on SYNTHETIC data: when > the rollout
+    # horizon, the generator extends each test trajectory to this many
+    # steps and references use the converged temporal statistics.
+    # Measured motivation (.verify_tke_floor.py): a 32-step temporal
+    # variance carries 0.34 rel-L2 of pure sampling noise, and fixture
+    # v2's LF is phase-correlated with HF, so a short-window reference
+    # credits the bicubic baseline for matching the reference's NOISE
+    # REALIZATION — which no ensemble estimate can do. Converged
+    # references score the statistic itself (BASELINE config #4).
+    # 0 = use the rollout horizon. Ignored for real archives.
+    ref_steps: int = 0
     # Trajectories per batched-rollout dispatch in cli/evaluate.py —
     # bounds peak activation memory at traj_batch * n_samples members.
     traj_batch: int = 4
