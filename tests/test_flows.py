@@ -223,6 +223,43 @@ def test_conditional_prior_logp_and_sample():
     assert z_s.shape == (B, H, W, C)
 
 
+def test_z_clip_truncates_sampling_only():
+    """z_clip bounds generative draws at ±k sigma and leaves the
+    density/reconstruction paths untouched (flows/prior.py stability
+    rationale: one tail latent can overflow a member through the
+    reverse coupling cascade at tau >= 1)."""
+    from tpuflow.flows.prior import gaussian_sample
+
+    rng = jax.random.PRNGKey(21)
+    mean = jnp.zeros((4, 64, 64, 4))
+    log_std = jnp.zeros((4, 64, 64, 4))
+    z_free = gaussian_sample(rng, mean, log_std, 1.0)
+    z_clip = gaussian_sample(rng, mean, log_std, 1.0, z_clip=2.0)
+    assert float(jnp.max(jnp.abs(z_free))) > 2.0  # 64k draws: tails exist
+    assert float(jnp.max(jnp.abs(z_clip))) <= 2.0
+    # Identical wherever the clip does not bind.
+    inside = jnp.abs(z_free) < 2.0
+    np.testing.assert_array_equal(
+        np.asarray(z_free)[np.asarray(inside)],
+        np.asarray(z_clip)[np.asarray(inside)],
+    )
+
+    # Module plumbing: a clipped split still reconstructs exactly and
+    # samples within the bound (zero-init prior => std 1, mean 0).
+    z = _rand(jax.random.PRNGKey(22), (B, H, W, C))
+    cond = _rand(jax.random.PRNGKey(23), (B, H, W, COND_C))
+    m = ConditionalSplit(dtype=jnp.float32, z_clip=3.0)
+    variables = m.init(jax.random.PRNGKey(24), z, cond)
+    keep, drop, _ = m.apply(variables, z, cond)
+    rec, _ = m.apply(variables, keep, cond, reverse=True, drop=drop)
+    np.testing.assert_array_equal(rec, z)
+    out, _ = m.apply(
+        variables, keep, cond, reverse=True,
+        rng=jax.random.PRNGKey(25), temperature=1.0,
+    )
+    assert float(jnp.max(jnp.abs(out[..., C // 2:]))) <= 3.0
+
+
 def test_actnorm_degenerate_channel_init():
     """A (near-)constant channel in the init batch must not initialize
     an unbounded amplification: log_scale is clamped so the first

@@ -72,6 +72,17 @@ class ModelConfig:
     # the kernel's (B, D) flatten forces layout copies that XLA's
     # in-place fusion avoids. The kernel stays available and tested.
     use_pallas: bool = False
+    # Truncate generative latent draws at ±z_clip standard deviations
+    # (clipped standard-normal; 0 = off). Tail insurance for high-tau
+    # ensemble sampling: OOD latents amplify superexponentially
+    # through the reverse coupling stack (1/sigmoid per step), and at
+    # tau = 1.0 a large ensemble x long horizon samples the tail often
+    # enough to overflow members (measured — docs/PAPER_PARITY.md
+    # "Sampling stability"). 4.0 bounds the excursion at negligible
+    # distributional cost (P(|eps|>4) ~ 6e-5); training and density
+    # evaluation are unaffected (forward logp never samples). NOT an
+    # OOD rescue: tau >= 1.15 diverges regardless (bulk OOD).
+    z_clip: float = 0.0
 
     def validate(self) -> None:
         h, w = self.hf_shape

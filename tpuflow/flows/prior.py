@@ -55,8 +55,26 @@ def gaussian_sample(
     mean: jax.Array,
     log_std: jax.Array,
     temperature: float | jax.Array = 1.0,
+    z_clip: float = 0.0,
 ) -> jax.Array:
     """Draw z ~ N(mean, (temperature * std)^2) — temperature tau of the
-    reference's ensemble sampler (SURVEY.md §3.2)."""
+    reference's ensemble sampler (SURVEY.md §3.2).
+
+    ``z_clip > 0`` truncates the standard-normal draw at ±z_clip sigma
+    (clipped, not resampled). Stability rationale (measured, see
+    docs/PAPER_PARITY.md "Sampling stability"): out-of-distribution
+    latents are amplified superexponentially through the reverse
+    coupling stack (each reverse step multiplies by 1/sigmoid(raw+2),
+    unbounded for OOD net inputs), and large-ensemble long-horizon
+    rollouts at tau = 1.0 sample the tail often enough to overflow
+    (64 members x 100 steps ~ 5e8 draws/channel). Truncation bounds
+    the excursion at negligible distribution cost (P(|eps| > 4) ~
+    6e-5). It is tail insurance, NOT an OOD rescue: at tau >= 1.15
+    the BULK of the latent distribution is out-of-distribution for
+    the trained coupling nets and rollouts diverge regardless of
+    clipping (measured on the r2 converged checkpoint).
+    """
     eps = jax.random.normal(rng, mean.shape, dtype=jnp.float32)
+    if z_clip > 0.0:
+        eps = jnp.clip(eps, -z_clip, z_clip)
     return mean + jnp.exp(log_std) * temperature * eps

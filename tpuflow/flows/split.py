@@ -65,6 +65,9 @@ class ConditionalSplit(nn.Module):
 
     dtype: Any = jnp.bfloat16
     layout: str = "nhwc"
+    # Truncate generative latent draws at ±z_clip sigma (0 = off) —
+    # see flows/prior.py gaussian_sample for the stability rationale.
+    z_clip: float = 0.0
 
     @nn.compact
     def __call__(
@@ -87,7 +90,9 @@ class ConditionalSplit(nn.Module):
                 ck, dtype=self.dtype, layout=self.layout, name="prior"
             )(h)
             if drop is None:
-                drop = gaussian_sample(rng, mean, log_std, temperature)
+                drop = gaussian_sample(
+                    rng, mean, log_std, temperature, self.z_clip
+                )
             out = jnp.concatenate(
                 [keep.astype(jnp.float32), drop.astype(jnp.float32)], axis=-1
             )
@@ -114,6 +119,8 @@ class ConditionalPrior(nn.Module):
 
     dtype: Any = jnp.bfloat16
     layout: str = "nhwc"
+    # Truncate generative latent draws at ±z_clip sigma (0 = off).
+    z_clip: float = 0.0
 
     @nn.compact
     def __call__(
@@ -131,7 +138,7 @@ class ConditionalPrior(nn.Module):
                 out_channels, dtype=self.dtype, layout=self.layout,
                 name="prior",
             )(cond)
-            z = gaussian_sample(rng, mean, log_std, temperature)
+            z = gaussian_sample(rng, mean, log_std, temperature, self.z_clip)
             return z, -gaussian_logp(z, mean, log_std, self.layout)
 
         z = z_or_shape

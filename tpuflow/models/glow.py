@@ -98,6 +98,9 @@ class MultiScaleGlow(nn.Module):
     # Layout of every flow tensor (x, latents, conds) — "hwnc" removes
     # all per-bijector transposes from the hot loops (flows/layout.py).
     flow_layout: str = "nhwc"
+    # Truncate generative latent draws at ±z_clip sigma (0 = off) —
+    # flows/prior.py gaussian_sample stability rationale.
+    z_clip: float = 0.0
 
     def setup(self):
         steps = []
@@ -122,13 +125,14 @@ class MultiScaleGlow(nn.Module):
                 splits.append(
                     ConditionalSplit(
                         dtype=self.dtype, layout=self.flow_layout,
-                        name=f"split{l}",
+                        z_clip=self.z_clip, name=f"split{l}",
                     )
                 )
         self.steps = steps
         self.splits = splits
         self.base_prior = ConditionalPrior(
-            dtype=self.dtype, layout=self.flow_layout, name="base_prior"
+            dtype=self.dtype, layout=self.flow_layout,
+            z_clip=self.z_clip, name="base_prior",
         )
 
     def __call__(self, x, conds, *, reverse=False, **kw):

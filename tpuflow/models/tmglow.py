@@ -187,6 +187,7 @@ class TMGlow(nn.Module):
             use_pallas=cfg.use_pallas,
             conv_layout=cfg.conv_layout,
             flow_layout=cfg.flow_layout,
+            z_clip=cfg.z_clip,
             name="glow",
         )
 
