@@ -119,9 +119,12 @@ def test_cli_train_rollout_evaluate_pipeline(tmp_path):
     # Trajectory chunking (eval.traj_batch) is a pure memory bound:
     # per-trajectory PRNG keys make chunked and single-dispatch
     # evaluation identical.
+    # (ref_steps pinned to the emetrics run above: the chunking
+    # comparison must score against identical references.)
     echunked = evaluate_main(
         _overrides(tmp_path)
-        + ["eval.calibration_steps=4", "eval.traj_batch=1"]
+        + ["eval.calibration_steps=4", "eval.ref_steps=24",
+           "eval.traj_batch=1"]
     )
     assert echunked["tke_rel_l2_mean"] == pytest.approx(
         emetrics["tke_rel_l2_mean"], rel=1e-5
@@ -133,7 +136,8 @@ def test_cli_train_rollout_evaluate_pipeline(tmp_path):
     # last trajectory and drops the padding — metrics must match the
     # no-padding single-dispatch run exactly.
     three = _overrides(tmp_path) + [
-        "data.n_test_traj=3", "eval.calibration_steps=4"
+        "data.n_test_traj=3", "eval.calibration_steps=4",
+        "eval.ref_steps=24",
     ]
     e_full = evaluate_main(three + ["eval.traj_batch=3"])
     e_pad = evaluate_main(three + ["eval.traj_batch=2"])

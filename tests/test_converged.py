@@ -93,6 +93,82 @@ def test_recalibrated_coverage(metrics):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-3 converged run: healthy-clip training (grad_clip=1000), tau=0.85,
+# converged 256-step variance references (eval.ref_steps), disjoint-split
+# spread calibration. The round-3 contract (VERDICT r2 item 2): the model
+# must BEAT the bicubic baseline on the second-moment statistics BASELINE
+# config #4 names (TKE; Reynolds stress), holdout-scored.
+
+RUN3 = pathlib.Path(__file__).resolve().parent.parent / "runs" / "r3_train"
+METRICS3 = RUN3 / "eval" / "backward-step" / "eval_metrics.json"
+
+
+@pytest.fixture(scope="module")
+def metrics3() -> dict:
+    _require(METRICS3)
+    return json.loads(METRICS3.read_text())
+
+
+def test_r3_converged_nll(metrics3):
+    assert metrics3["test_bpd"] < -8.0
+    assert metrics3["test_bpd_last_step"] < -8.0
+
+
+def test_r3_second_moment_skill_beats_baseline(metrics3):
+    # The committed values are 1.56 (scalar calibration) / 1.79
+    # (per-location field) for TKE and 1.77 for Reynolds stress; the
+    # pins leave regression headroom but keep "beats the baseline"
+    # strict.
+    assert metrics3["tke_skill_holdout_calibrated"] > 1.2
+    assert metrics3["tke_skill_holdout_fieldcal"] > 1.2
+    assert metrics3["reynolds_skill_holdout_calibrated"] > 1.2
+    # Raw (uncalibrated) dispersion does NOT clear the bar (0.70 at
+    # r3) — the calibrated numbers above are the deployment-honest
+    # ones and the calibration layer is what closes the gap. If this
+    # starts passing, tighten the calibrated pins instead.
+    assert metrics3["tke_skill_holdout_raw"] < 1.0
+
+
+def test_r3_fluctuation_pdf_documented_honestly(metrics3):
+    # PDF-W1 remains BELOW baseline at r3 (u 0.79, v 0.53 skill) —
+    # pinned so the report cannot silently regress further, and so a
+    # future fix that clears 1.0 is noticed (then promote these to
+    # > 1.0 pins).
+    assert metrics3["pdf_w1_u_skill_holdout_calibrated"] > 0.6
+    assert metrics3["pdf_w1_v_skill_holdout_calibrated"] > 0.4
+    # Absolute normalized-W1 stays small even while losing the ratio.
+    assert metrics3["pdf_w1_u_holdout_calibrated"] < 0.12
+    assert metrics3["pdf_w1_v_holdout_calibrated"] < 0.12
+
+
+def test_r3_recalibrated_coverage(metrics3):
+    cov = metrics3["coverage_holdout_recalibrated"]
+    for level, got in cov.items():
+        assert abs(float(level) - got) < 0.06, (level, got)
+    assert metrics3["crps_holdout_recalibrated"] <= (
+        metrics3["crps_holdout_raw"] * 1.05
+    )
+
+
+def test_r3_grad_clip_not_saturated():
+    """The r2 run's clip=10 saturated 50-110x late in training (every
+    update direction-only). The r3 preset (clip=1000) must keep late
+    clipping rare — parsed from the committed supervisor log."""
+    log = RUN3 / "supervisor.log"
+    _require(log)
+    norms = [
+        float(part.split("=", 1)[1])
+        for line in log.read_text().splitlines()
+        for part in line.split()
+        if part.startswith("grad_norm=")
+    ]
+    assert len(norms) > 200
+    late = norms[int(len(norms) * 0.8):]
+    frac_clipped = sum(n > 1000.0 for n in late) / len(late)
+    assert frac_clipped < 0.25, frac_clipped
+
+
 def test_training_curve_plateaued():
     val_log = RUN / "checkpoints" / "backward-step" / "val_log.csv"
     _require(val_log)

@@ -596,6 +596,10 @@ def main(argv=None) -> dict:
         "steps": T,
         "ref_steps": ref_steps,
         "n_samples": cfg.eval.n_samples,
+        # The dispersion the whole-horizon variance rows above deployed
+        # (eval.spread_scale at eval time; the FITTED value this eval
+        # produced is "spread_scale" inside `calib`).
+        "deployed_spread_scale": float(cfg.eval.spread_scale),
         "backend": jax.default_backend(),
         **calib,
     }

@@ -139,6 +139,20 @@ def build_report(out_dir: pathlib.Path, case: str) -> str:
         if line:
             lines.append(line)
 
+    if "tke_rel_l2_mean" in m:
+        lines += [
+            "",
+            "Variance-derived rows above (TKE, Reynolds, PDF-W1) score "
+            "the ensemble at its RAW deployed dispersion over the full "
+            f"{m.get('steps', '?')}-step horizon (eval.spread_scale "
+            f"{_fmt(m.get('deployed_spread_scale', 1.0))}); the raw "
+            "tau-reduced ensemble is underdispersed by design, so these "
+            "are the model's floor. The holdout table below is the "
+            "calibrated, like-for-like comparison on the same "
+            "fit/holdout protocol the deployment path uses — judge "
+            "second-moment capability there.",
+        ]
+
     # Holdout second-moment section: the variance-derived statistics
     # (BASELINE config #4's point) scored raw vs spread-calibrated on
     # the holdout trajectories, always with the baseline column.
