@@ -156,11 +156,24 @@ def test_cli_train_rollout_evaluate_pipeline(tmp_path):
     # swept over tau (traced argument — no retrace per value).
     from tpuflow.tools.sweep_temperature import main as sweep_main
 
-    rows = sweep_main(_overrides(tmp_path) + ["temperatures=0.5,1.0"])
+    rows = sweep_main(
+        _overrides(tmp_path)
+        + ["temperatures=0.5,1.0", "eval.calibration_steps=4",
+           "eval.ref_steps=24"]
+    )
     assert [r["temperature"] for r in rows] == [0.5, 1.0]
     assert all(np.isfinite(r["gaussian_crps"]) for r in rows)
     # Higher tau -> wider ensemble spread (monotone by construction).
     assert rows[1]["ensemble_std"] > rows[0]["ensemble_std"]
+    # Shape/stability columns (fields-mode second pass): finite_frac
+    # reports member-overflow stability; the second-moment columns
+    # exist whenever the rollout stayed finite.
+    for r in rows:
+        assert 0.0 <= r["finite_frac"] <= 1.0
+        if r["finite_frac"] == 1.0:
+            assert np.isfinite(r["pdf_w1_u"])
+            assert np.isfinite(r["tke_rel_l2_calibrated"])
+            assert r["spread_scale_fit"] > 0
     assert (out_dir / "temperature_sweep.png").exists()
 
     # examples/quickstart.py contract: the walkthrough runs these same

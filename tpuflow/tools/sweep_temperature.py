@@ -7,6 +7,18 @@ tool reproduces that study for any checkpoint — one compiled rollout
 per-tau field error, TKE error, Gaussian CRPS, and ensemble spread,
 with a summary figure.
 
+The stats-mode sweep runs the full eval horizon; a second fields-mode
+rollout on a short window (eval.calibration_steps) adds the
+distribution-shape and stability columns the tau decision actually
+needs (see docs/PAPER_PARITY.md "Sampling stability"):
+  * finite_frac — fraction of member-field values that are finite
+    (1.0 = stable; the tau >= 1.0 failure mode is member overflow)
+  * pdf_w1_{u,v} — normalized fluctuation-PDF Wasserstein-1 vs the
+    converged eval.ref_steps reference (the second-moment metric the
+    reduced-tau ensemble loses to the bicubic baseline on)
+  * tke_cal — TKE rel-L2 with disjoint-split spread calibration
+    (fit on even trajectories, scored on odd — the deployment path)
+
 Usage:
   python -m tpuflow.tools.sweep_temperature <case> \
       [temperatures=0.3,0.5,0.7,0.9,1.0] [key=value ...]
@@ -51,6 +63,36 @@ def sweep(cfg, temperatures) -> list[dict]:
     hf_ref = [jnp.asarray(ds.denorm_hf(ds.hf[i, :T])) for i in range(ds.n_traj)]
     hf_tke = [tke_field(hf.var(axis=0)) for hf in hf_ref]
 
+    # Second-moment / stability columns: a short fields-mode rollout
+    # (memory O(t_cal * N * H * W * C)) scored against the converged
+    # eval.ref_steps references, with disjoint-split spread
+    # calibration — the tau-decision table in one tool.
+    t_cal = min(cfg.eval.calibration_steps, T)
+    shape_cols = t_cal >= 2 and cfg.eval.n_samples >= 2
+    if shape_cols:
+        from tpuflow.eval.calibrate import fit_spread_scale, scale_members
+        from tpuflow.eval.stats import wasserstein1
+
+        fields_rollout = jax.jit(
+            make_ensemble_rollout(
+                model, cfg.eval.n_samples, collect="fields"
+            )
+        )
+        if cfg.data.synthetic and cfg.eval.ref_steps > t_cal:
+            from tpuflow.data import generate_case
+
+            _, hf_long = generate_case(
+                cfg.data.case, ds.n_traj, cfg.eval.ref_steps,
+                cfg.model.hf_shape, cfg.model.lf_shape,
+                seed=cfg.data.seed + 10_000,
+                fixture_version=cfg.data.fixture_version,
+            )
+            refs = [jnp.asarray(hf_long[i]) for i in range(ds.n_traj)]
+        else:
+            refs = [hf[:t_cal] for hf in hf_ref]
+        fit_idx = list(range(0, ds.n_traj, 2))
+        hold_idx = list(range(1, ds.n_traj, 2)) or fit_idx
+
     rows = []
     for tau in temperatures:
         tke_errs, field_errs, crps_vals, spreads = [], [], [], []
@@ -74,15 +116,61 @@ def sweep(cfg, temperatures) -> list[dict]:
             field_errs.append(float(relative_l2(mean, hf)))
             crps_vals.append(float(jnp.mean(gaussian_crps(mean, var, hf))))
             spreads.append(float(jnp.sqrt(var).mean()))
-        rows.append(
-            {
-                "temperature": float(tau),
-                "field_rel_l2": float(np.mean(field_errs)),
-                "tke_rel_l2": float(np.mean(tke_errs)),
-                "gaussian_crps": float(np.mean(crps_vals)),
-                "ensemble_std": float(np.mean(spreads)),
-            }
-        )
+        row = {
+            "temperature": float(tau),
+            "field_rel_l2": float(np.mean(field_errs)),
+            "tke_rel_l2": float(np.mean(tke_errs)),
+            "gaussian_crps": float(np.mean(crps_vals)),
+            "ensemble_std": float(np.mean(spreads)),
+        }
+        if shape_cols:
+            members = {}
+            finite = []
+            for i in range(ds.n_traj):
+                f = np.asarray(
+                    fields_rollout(
+                        variables,
+                        lf_in[i][:t_cal],
+                        jax.random.PRNGKey(100 + i),
+                        jnp.float32(tau),
+                    )
+                )  # (t_cal, N, H, W, C) normalized
+                finite.append(float(np.isfinite(f).mean()))
+                members[i] = jnp.asarray(
+                    np.moveaxis(ds.denorm_hf(f), 1, 0)
+                )  # (N, t, H, W, C)
+            row["finite_frac"] = float(np.mean(finite))
+            if row["finite_frac"] == 1.0:
+                scale = float(
+                    np.mean([
+                        float(fit_spread_scale(members[i], refs[i][:t_cal]))
+                        for i in fit_idx
+                    ])
+                )
+                row["spread_scale_fit"] = scale
+                tke_cal, w1u, w1v = [], [], []
+                for i in hold_idx:
+                    m_cal = scale_members(members[i], scale)
+                    ref_i = refs[i]
+                    tke_cal.append(float(relative_l2(
+                        tke_field(m_cal.var(axis=(0, 1))),
+                        tke_field(ref_i.var(axis=0)),
+                    )))
+                    fl = m_cal[..., :2] - m_cal[..., :2].mean(
+                        axis=(0, 1), keepdims=True
+                    )
+                    rfl = ref_i[..., :2] - ref_i[..., :2].mean(
+                        0, keepdims=True
+                    )
+                    for c, acc in ((0, w1u), (1, w1v)):
+                        acc.append(
+                            float(wasserstein1(fl[..., c], rfl[..., c]))
+                            / (float(jnp.std(rfl[..., c])) + 1e-12)
+                        )
+                row["tke_rel_l2_calibrated"] = float(np.mean(tke_cal))
+                row["pdf_w1_u"] = float(np.mean(w1u))
+                row["pdf_w1_v"] = float(np.mean(w1v))
+        rows.append(row)
     return rows
 
 
