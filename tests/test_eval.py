@@ -429,6 +429,50 @@ def test_spread_scale_recovers_underdispersion():
     )
 
 
+def test_variance_scale_fit_is_finite_ensemble_unbiased():
+    """The z-RMS interval fit over-disperses variance statistics at
+    small N — for a PERFECTLY calibrated N-member ensemble
+    E[z^2] = (N+1)/(N-3) (the 1/chi^2_{N-1} tail), ~2.2 RMS at N=4.
+    fit_variance_scale matches ratios of expectations instead and
+    must return ~1 for a calibrated ensemble at ANY N, and recover a
+    known under-dispersion factor."""
+    from tpuflow.eval.calibrate import (
+        fit_spread_scale,
+        fit_variance_scale,
+        fit_variance_scale_from_moments,
+        scale_members,
+    )
+
+    rng = np.random.default_rng(11)
+    for n in (4, 64):
+        members = jnp.asarray(
+            rng.normal(size=(n, 65536)).astype(np.float32)
+        )
+        ref = jnp.asarray(rng.normal(size=(65536,)).astype(np.float32))
+        s_int = float(fit_spread_scale(members, ref))
+        s_var = float(fit_variance_scale(members, ref))
+        # Calibrated ensemble: variance fit ~1, interval fit carries
+        # the finite-N term (large at N=4, ~3% at N=64).
+        assert abs(s_var - 1.0) < 0.1, (n, s_var)
+        if n == 4:
+            assert s_int > 1.8, s_int  # E[z^2] = (N+1)/(N-3) = 5
+        # Underdispersed by 2x: the variance fit recovers the factor
+        # and the corrected ensemble's population variance matches
+        # truth (up to the (N-1)/N estimator convention handled by the
+        # N/(N-1) term in the fit).
+        und = jnp.asarray(
+            (rng.normal(size=(n, 65536)) / 2.0).astype(np.float32)
+        )
+        s2 = float(fit_variance_scale(und, ref))
+        assert abs(s2 - 2.0) / 2.0 < 0.12, (n, s2)
+        var_corr = float(
+            scale_members(und, s2).var(axis=0, ddof=1).mean()
+        )
+        assert abs(var_corr - 1.0) < 0.15, (n, var_corr)
+    with pytest.raises(ValueError):
+        fit_variance_scale_from_moments(1.0, 1.0, 1)
+
+
 def test_pooled_zscore_fit_matches_concatenated():
     """The streaming multi-trajectory fit (pool per-trajectory z-scores,
     then fit) must equal fitting on member fields concatenated along

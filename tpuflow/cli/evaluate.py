@@ -24,6 +24,7 @@ from tpuflow.eval.calibrate import (
     fit_interval_scales_from_z,
     fit_spread_field_from_z,
     fit_spread_scale_from_z,
+    fit_variance_scale_from_moments,
     scale_members,
     scaled_interval_coverage,
 )
@@ -106,7 +107,7 @@ def main(argv=None) -> dict:
     # holds normalized fields; per-channel sigma differs, so normalized
     # TKE would reweight u/v fluctuations — stats.py contract).
     tke_errs, mean_errs, var_mean, vort_errs = [], [], [], []
-    div_rms_pred, div_rms_ref = [], []
+    div_rms_pred, div_rms_ref, vort_rms_ref = [], [], []
     base_field_errs, base_tke_errs, base_vort_errs = [], [], []
     tke_pred_sum = tke_ref_sum = None
     vort_fig = None
@@ -176,12 +177,19 @@ def main(argv=None) -> dict:
         # mean vs the HF reference's own RMS on the same grid/stencil
         # (neither is exactly solenoidal after grid interpolation — the
         # honest scalar is the ratio, ~1 = as divergence-free as data).
+        # CAVEAT: a streamfunction-built reference (cylinder-array
+        # fixture) is solenoidal to machine precision, so the ratio
+        # explodes on ANY finite prediction divergence; the
+        # gradient-normalized divergence below (pred div RMS / ref
+        # vorticity RMS — same derivative order and units) is the
+        # scale-meaningful diagnostic for such cases.
         div_rms_pred.append(
             float(jnp.sqrt(jnp.mean(divergence(mean, dx=dx, dy=dy) ** 2)))
         )
         div_rms_ref.append(
             float(jnp.sqrt(jnp.mean(divergence(hf, dx=dx, dy=dy) ** 2)))
         )
+        vort_rms_ref.append(float(jnp.sqrt(jnp.mean(vort_ref ** 2))))
         if i == 0:
             vort_fig = (np.asarray(vort_pred[T - 1]), np.asarray(vort_ref[T - 1]))
         tke_pred_sum = tke_pred if tke_pred_sum is None else tke_pred_sum + tke_pred
@@ -332,12 +340,19 @@ def main(argv=None) -> dict:
         fit_idx = list(range(0, ds.n_traj, 2))
         hold_idx = list(range(1, ds.n_traj, 2))
         z_pool = []
+        r2_parts, v_parts = [], []
         for i in fit_idx:
             m_i, hf_i = (members, hf0) if i == 0 else _members_for(i)
             # Keep the FIELD structure (T, H, W, C): the scalar and
             # interval fits ravel below; the per-location field fit
             # needs the spatial axes.
             z_pool.append(np.asarray(ensemble_zscores(m_i, hf_i)))
+            # Raw second moments for the VARIANCE-statistic fit
+            # (calibrate.fit_variance_scale_from_moments): equal
+            # element counts per trajectory, so equal-weight means
+            # pool exactly.
+            r2_parts.append(float(jnp.mean((hf_i - m_i.mean(axis=0)) ** 2)))
+            v_parts.append(float(jnp.mean(m_i.var(axis=0))))
             del m_i
         z_fields = jnp.asarray(np.concatenate(z_pool, axis=0))
         del z_pool
@@ -357,6 +372,16 @@ def main(argv=None) -> dict:
         # the fit split, applied to the holdout's two-moment stats).
         iscales = fit_interval_scales_from_z(z_f, levels=_COVERAGE_LEVELS)
         del z_f
+        # Variance-statistic inflation, fit unbiased from pooled raw
+        # moments (NOT the z-RMS interval factor, whose 1/chi^2 tail
+        # over-disperses pooled variances ~5x at N=4 — see
+        # calibrate.fit_variance_scale_from_moments).
+        var_factor = float(
+            fit_variance_scale_from_moments(
+                float(np.mean(r2_parts)), float(np.mean(v_parts)),
+                cfg.eval.n_samples,
+            )
+        )
 
         cov_raw = cov_cal = cov_fld = cov_q = cov_s1 = 0.0
         crps_raw = crps_cal = crps_fld = 0.0
@@ -383,6 +408,15 @@ def main(argv=None) -> dict:
             m_i, hf_i = (members, hf0) if i == 0 else _members_for(i)
             m_cal = scale_members(m_i, scale)
             m_fld = scale_members(m_i, s_field)
+            # Variance statistics use the unbiased variance-fit factor
+            # (calibrate.fit_variance_scale_from_moments): the
+            # interval-fit factor over-disperses pooled variances at
+            # small N. The per-location field keeps its spatial
+            # structure, rescaled to the variance-fit magnitude.
+            m_vcal = scale_members(m_i, var_factor)
+            m_vfld = scale_members(
+                m_i, s_field * (var_factor / max(float(scale), 1e-12))
+            )
             cov_raw += ensemble_coverage(m_i, hf_i, levels=_COVERAGE_LEVELS)
             cov_cal += ensemble_coverage(m_cal, hf_i, levels=_COVERAGE_LEVELS)
             cov_fld += ensemble_coverage(m_fld, hf_i, levels=_COVERAGE_LEVELS)
@@ -417,7 +451,7 @@ def main(argv=None) -> dict:
             )
             ref_tke_i = tke_field(hf_ref_i.var(axis=0))
             rey_ref_i = reynolds_stress_uv(hf_ref_i, axes=(0,))
-            for tag, m in (("raw", m_i), ("cal", m_cal), ("fld", m_fld)):
+            for tag, m in (("raw", m_i), ("cal", m_vcal), ("fld", m_vfld)):
                 # Pooled (ensemble x time) variance == the deployed
                 # total_variance(mean, var) construction exactly.
                 sm[f"tke_{tag}"] += float(
@@ -444,7 +478,7 @@ def main(argv=None) -> dict:
             )
             for c, cname in enumerate(("u", "v")):
                 ref_std_i = float(jnp.std(ref_fl_i[..., c])) + 1e-12
-                for tag, m in (("raw", m_i), ("cal", m_cal), ("fld", m_fld)):
+                for tag, m in (("raw", m_i), ("cal", m_vcal), ("fld", m_vfld)):
                     fl = m[..., :2] - m[..., :2].mean(
                         axis=(0, 1), keepdims=True
                     )
@@ -456,7 +490,7 @@ def main(argv=None) -> dict:
                     float(wasserstein1(base_fl_i[..., c], ref_fl_i[..., c]))
                     / ref_std_i
                 )
-            del m_i, m_cal, m_fld
+            del m_i, m_cal, m_fld, m_vcal, m_vfld
         n_rep = len(report_idx)
         sm = {k: v / n_rep for k, v in sm.items()}
         cov_raw, cov_cal = cov_raw / n_rep, cov_cal / n_rep
@@ -464,6 +498,10 @@ def main(argv=None) -> dict:
         cov_q, cov_s1 = cov_q / n_rep, cov_s1 / n_rep
         calib.update(
             spread_scale=float(scale),
+            # Unbiased variance-statistic inflation (what the cal/fld
+            # second-moment rows deploy; differs from spread_scale by
+            # the finite-ensemble z-fit bias — equal as N -> inf).
+            variance_scale_fit=var_factor,
             calibration_in_sample=(not hold_idx),
             # Holdout second-moment skill, raw vs calibrated dispersion
             # (skill > 1 = beats the bicubic baseline on that metric).
@@ -569,6 +607,15 @@ def main(argv=None) -> dict:
         "divergence_rms_ref": float(np.mean(div_rms_ref)),
         "divergence_rms_ratio": float(
             np.mean(div_rms_pred) / (np.mean(div_rms_ref) + 1e-12)
+        ),
+        # Gradient-normalized divergence: pred div RMS over the
+        # reference's vorticity RMS (same derivative order/units) —
+        # the meaningful incompressibility scalar when the reference
+        # is streamfunction-exact solenoidal and the plain ratio
+        # divides by ~0 (cylinder-array fixture: ref div RMS 0.0027
+        # vs vorticity RMS O(10)).
+        "divergence_rms_normalized": float(
+            np.mean(div_rms_pred) / (np.mean(vort_rms_ref) + 1e-12)
         ),
         "ensemble_var_mean": float(np.mean(var_mean)),
         # Trivial-baseline comparator (bicubic LF->HF upsampling on the

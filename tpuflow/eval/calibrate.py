@@ -58,6 +58,62 @@ def fit_spread_scale_from_z(z: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.mean(z * z))
 
 
+def fit_variance_scale_from_moments(
+    sq_resid_mean, ens_var_mean, n_members: int
+):
+    """Member-deviation inflation for VARIANCE-derived statistics
+    (TKE, Reynolds stress, fluctuation PDFs), fit by unbiased moment
+    matching.
+
+    The z-RMS interval fit is the WRONG inflation for variance
+    statistics at small N: under perfect calibration E[z^2] =
+    (N+1)/(N-3) (the 1/chi^2_{N-1} tail; measured RMS(z) = 2.19 at
+    N=4 for an exactly calibrated ensemble), so scaling member
+    deviations by the interval factor over-disperses pooled variances
+    ~5x at the cylinder preset's N=4 (measured: calibrated TKE error
+    1.79 vs 0.82 raw). This fit avoids E[1/v] entirely — it matches
+    ratios of EXPECTATIONS, which are finite-N unbiased:
+
+        sigma_true^2 = E[(ref - mean)^2] - E[v] / (N-1)
+        s_m^2        = sigma_true^2 * (N-1) / (N * E[v])
+
+    where v is the POPULATION ensemble variance (the rollout stats
+    contract); E[v] = m2 (N-1)/N for true member variance m2, so s_m
+    = sigma_true / sqrt(m2): scaled members are draw-level
+    exchangeable with the reference. For a perfectly calibrated
+    ensemble s_m = 1 at every N; for N -> inf it agrees with the
+    interval fit.
+
+    Args:
+      sq_resid_mean: pooled mean of (ref - ensemble mean)^2.
+      ens_var_mean: pooled mean of the population ensemble variance.
+      n_members: ensemble size N (>= 2).
+
+    Returns: scalar member-deviation factor (floored at 0 when the
+    residuals are smaller than the ensemble-mean noise term —
+    an overdispersed ensemble at tiny N).
+    """
+    if n_members < 2:
+        raise ValueError(
+            f"fit_variance_scale needs >= 2 members, got {n_members}"
+        )
+    r2 = jnp.asarray(sq_resid_mean, jnp.float32)
+    v = jnp.asarray(ens_var_mean, jnp.float32) + 1e-20
+    sigma2 = jnp.maximum(r2 - v / (n_members - 1), 0.0)
+    return jnp.sqrt(sigma2 * (n_members - 1) / (n_members * v))
+
+
+def fit_variance_scale(
+    members: jnp.ndarray, ref: jnp.ndarray, axis: int = 0
+) -> jnp.ndarray:
+    """``fit_variance_scale_from_moments`` on raw member fields."""
+    x = jnp.moveaxis(members, axis, 0)
+    n = x.shape[0]
+    r2 = jnp.mean((ref - x.mean(axis=0)) ** 2)
+    v = jnp.mean(x.var(axis=0))
+    return fit_variance_scale_from_moments(r2, v, n)
+
+
 def fit_spread_field_from_z(
     z_stack: jnp.ndarray,
     prior_weight: float = 8.0,

@@ -122,6 +122,8 @@ def build_report(out_dir: pathlib.Path, case: str) -> str:
          "baseline_vorticity_rel_l2_mean", "vorticity_skill_vs_baseline"),
         ("divergence RMS ratio (pred/HF)", "divergence_rms_ratio",
          None, None),
+        ("divergence RMS / ref vorticity RMS", "divergence_rms_normalized",
+         None, None),
         ("energy-spectrum log rel-L2", "spectrum_rel_l2",
          "baseline_spectrum_rel_l2", None),
         ("ensemble CRPS", "crps_mean", None, None),

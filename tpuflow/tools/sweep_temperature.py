@@ -70,7 +70,11 @@ def sweep(cfg, temperatures) -> list[dict]:
     t_cal = min(cfg.eval.calibration_steps, T)
     shape_cols = t_cal >= 2 and cfg.eval.n_samples >= 2
     if shape_cols:
-        from tpuflow.eval.calibrate import fit_spread_scale, scale_members
+        from tpuflow.eval.calibrate import (
+            fit_spread_scale,
+            fit_variance_scale,
+            scale_members,
+        )
         from tpuflow.eval.stats import wasserstein1
 
         fields_rollout = jax.jit(
@@ -148,9 +152,20 @@ def sweep(cfg, temperatures) -> list[dict]:
                     ])
                 )
                 row["spread_scale_fit"] = scale
+                # Unbiased variance-statistic inflation (see
+                # calibrate.fit_variance_scale_from_moments).
+                v_scale = float(
+                    np.mean([
+                        float(
+                            fit_variance_scale(members[i], refs[i][:t_cal])
+                        )
+                        for i in fit_idx
+                    ])
+                )
+                row["variance_scale_fit"] = v_scale
                 tke_cal, w1u, w1v = [], [], []
                 for i in hold_idx:
-                    m_cal = scale_members(members[i], scale)
+                    m_cal = scale_members(members[i], v_scale)
                     ref_i = refs[i]
                     tke_cal.append(float(relative_l2(
                         tke_field(m_cal.var(axis=(0, 1))),
