@@ -23,6 +23,8 @@ from tpuflow.eval.calibrate import (
     ensemble_zscores,
     fit_interval_scales_from_z,
     fit_spread_field_from_z,
+    apply_quantile_map,
+    fit_quantile_map,
     fit_spread_scale_from_z,
     fit_variance_scale_from_moments,
     scale_members,
@@ -341,6 +343,7 @@ def main(argv=None) -> dict:
         hold_idx = list(range(1, ds.n_traj, 2))
         z_pool = []
         r2_parts, v_parts = [], []
+        qmap_pred, qmap_ref = {0: [], 1: []}, {0: [], 1: []}
         for i in fit_idx:
             m_i, hf_i = (members, hf0) if i == 0 else _members_for(i)
             # Keep the FIELD structure (T, H, W, C): the scalar and
@@ -353,7 +356,28 @@ def main(argv=None) -> dict:
             # pool exactly.
             r2_parts.append(float(jnp.mean((hf_i - m_i.mean(axis=0)) ** 2)))
             v_parts.append(float(jnp.mean(m_i.var(axis=0))))
-            del m_i
+            # Subsampled fluctuation marginals for the quantile-map
+            # (distribution-shape) fit — member fluctuations vs the
+            # CONVERGED reference's, per velocity channel. Stride-8
+            # subsampling bounds pooled memory; quantiles at 65 knots
+            # are insensitive to it.
+            fl_m = m_i[..., :2] - m_i[..., :2].mean(
+                axis=(0, 1), keepdims=True
+            )
+            ref_q_i = (
+                jnp.asarray(hf_ref_long[i])
+                if hf_ref_long is not None
+                else hf_i
+            )
+            fl_r = ref_q_i[..., :2] - ref_q_i[..., :2].mean(
+                0, keepdims=True
+            )
+            for c in (0, 1):
+                qmap_pred[c].append(
+                    np.asarray(fl_m[..., c]).ravel()[::8]
+                )
+                qmap_ref[c].append(np.asarray(fl_r[..., c]).ravel()[::8])
+            del m_i, fl_m, fl_r
         z_fields = jnp.asarray(np.concatenate(z_pool, axis=0))
         del z_pool
         z_f = z_fields.ravel()
@@ -382,6 +406,26 @@ def main(argv=None) -> dict:
                 cfg.eval.n_samples,
             )
         )
+        # Distribution-shape calibration (calibrate.fit_quantile_map):
+        # per-channel monotone map from the raw member fluctuation
+        # marginal onto the converged reference's, fit on the fit
+        # split, scored on holdout, saved as a deployable artifact.
+        qmaps = {
+            c: fit_quantile_map(
+                jnp.asarray(np.concatenate(qmap_pred[c])),
+                jnp.asarray(np.concatenate(qmap_ref[c])),
+            )
+            for c in (0, 1)
+        }
+        np.savez(
+            out_dir / "quantile_map.npz",
+            **{
+                f"{ax}{c}": np.asarray(arr)
+                for c, (xq, yq) in qmaps.items()
+                for ax, arr in (("x", xq), ("y", yq))
+            },
+        )
+        del qmap_pred, qmap_ref
 
         cov_raw = cov_cal = cov_fld = cov_q = cov_s1 = 0.0
         crps_raw = crps_cal = crps_fld = 0.0
@@ -399,8 +443,8 @@ def main(argv=None) -> dict:
             for k in (
                 "tke_raw", "tke_cal", "tke_fld", "tke_base",
                 "rey_raw", "rey_cal", "rey_fld", "rey_base",
-                "w1u_raw", "w1u_cal", "w1u_fld", "w1u_base",
-                "w1v_raw", "w1v_cal", "w1v_fld", "w1v_base",
+                "w1u_raw", "w1u_cal", "w1u_fld", "w1u_qmap", "w1u_base",
+                "w1v_raw", "w1v_cal", "w1v_fld", "w1v_qmap", "w1v_base",
             )
         }
         report_idx = hold_idx or [0]  # in-sample fallback for 1 traj
@@ -476,6 +520,9 @@ def main(argv=None) -> dict:
             ref_fl_i = hf_ref_i[..., :2] - hf_ref_i[..., :2].mean(
                 0, keepdims=True
             )
+            raw_fl = m_i[..., :2] - m_i[..., :2].mean(
+                axis=(0, 1), keepdims=True
+            )
             for c, cname in enumerate(("u", "v")):
                 ref_std_i = float(jnp.std(ref_fl_i[..., c])) + 1e-12
                 for tag, m in (("raw", m_i), ("cal", m_vcal), ("fld", m_vfld)):
@@ -486,11 +533,18 @@ def main(argv=None) -> dict:
                         float(wasserstein1(fl[..., c], ref_fl_i[..., c]))
                         / ref_std_i
                     )
+                # Distribution-shape calibration: the quantile map fit
+                # on the disjoint split applied to the RAW member
+                # fluctuations (calibrate.fit_quantile_map).
+                fl_q = apply_quantile_map(raw_fl[..., c], *qmaps[c])
+                sm[f"w1{cname}_qmap"] += (
+                    float(wasserstein1(fl_q, ref_fl_i[..., c])) / ref_std_i
+                )
                 sm[f"w1{cname}_base"] += (
                     float(wasserstein1(base_fl_i[..., c], ref_fl_i[..., c]))
                     / ref_std_i
                 )
-            del m_i, m_cal, m_fld, m_vcal, m_vfld
+            del m_i, m_cal, m_fld, m_vcal, m_vfld, raw_fl
         n_rep = len(report_idx)
         sm = {k: v / n_rep for k, v in sm.items()}
         cov_raw, cov_cal = cov_raw / n_rep, cov_cal / n_rep
@@ -529,6 +583,17 @@ def main(argv=None) -> dict:
             baseline_pdf_w1_v_holdout=sm["w1v_base"],
             pdf_w1_v_skill_holdout_calibrated=skill(
                 sm["w1v_cal"], sm["w1v_base"]
+            ),
+            # Distribution-shape (quantile-map) calibration, fit on
+            # the disjoint split (calibrate.fit_quantile_map; deploys
+            # via the saved quantile_map.npz).
+            pdf_w1_u_holdout_qmap=sm["w1u_qmap"],
+            pdf_w1_u_skill_holdout_qmap=skill(
+                sm["w1u_qmap"], sm["w1u_base"]
+            ),
+            pdf_w1_v_holdout_qmap=sm["w1v_qmap"],
+            pdf_w1_v_skill_holdout_qmap=skill(
+                sm["w1v_qmap"], sm["w1v_base"]
             ),
             # Per-location spread-field calibration (the "fld" column):
             # same disjoint fit/holdout protocol, field deploys via

@@ -114,6 +114,63 @@ def fit_variance_scale(
     return fit_variance_scale_from_moments(r2, v, n)
 
 
+def fit_quantile_map(
+    pred_vals: jnp.ndarray,
+    ref_vals: jnp.ndarray,
+    n_quantiles: int = 65,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """CDF-matching (quantile-map) calibration of a pooled marginal.
+
+    Linear scaling fixes a distribution's second moment but not its
+    SHAPE: the tau-reduced flow ensemble's fluctuation marginal stays
+    measurably wider-shouldered than the converged HF reference after
+    spread calibration (r3: PDF-W1 0.083 vs bicubic 0.066 with the
+    gap flat in tau — dispersion magnitude is not what is left).
+    Quantile mapping is the standard distribution-shape correction in
+    ensemble postprocessing / climate downscaling: map the predicted
+    marginal's quantiles onto the reference's at matched probability
+    levels, giving a monotone piecewise-linear transform that makes
+    the fit-split marginal match the reference exactly at the knots
+    and transfers to held-out data to the extent the shape error is
+    systematic (scored honestly on the disjoint holdout split by
+    cli/evaluate.py).
+
+    Args:
+      pred_vals: pooled predicted samples (any shape; raveled).
+      ref_vals: pooled reference samples (any shape; raveled).
+      n_quantiles: number of knots (probability levels are midpoints,
+        avoiding the extreme order statistics' noise).
+
+    Returns: (xq, yq) knot arrays — apply with ``apply_quantile_map``.
+    """
+    p = (jnp.arange(n_quantiles, dtype=jnp.float32) + 0.5) / n_quantiles
+    xq = jnp.quantile(pred_vals.ravel().astype(jnp.float32), p)
+    yq = jnp.quantile(ref_vals.ravel().astype(jnp.float32), p)
+    # Strictly increasing knots keep the map invertible even where
+    # the empirical quantiles tie (masked/constant regions).
+    eps = 1e-7 * (xq[-1] - xq[0] + 1.0)
+    xq = jnp.maximum.accumulate(xq + eps * jnp.arange(n_quantiles))
+    return xq, yq
+
+
+def apply_quantile_map(
+    vals: jnp.ndarray, xq: jnp.ndarray, yq: jnp.ndarray
+) -> jnp.ndarray:
+    """Apply a fitted quantile map with linear tail extrapolation.
+
+    jnp.interp clamps outside the knot range; clamping would collapse
+    every out-of-range tail value onto the end knot and destroy the
+    tail shape, so the end segments' slopes extend linearly instead.
+    """
+    v = vals.astype(jnp.float32)
+    out = jnp.interp(v, xq, yq)
+    lo_slope = (yq[1] - yq[0]) / (xq[1] - xq[0])
+    hi_slope = (yq[-1] - yq[-2]) / (xq[-1] - xq[-2])
+    out = jnp.where(v < xq[0], yq[0] + (v - xq[0]) * lo_slope, out)
+    out = jnp.where(v > xq[-1], yq[-1] + (v - xq[-1]) * hi_slope, out)
+    return out
+
+
 def fit_spread_field_from_z(
     z_stack: jnp.ndarray,
     prior_weight: float = 8.0,

@@ -196,6 +196,17 @@ def build_report(out_dir: pathlib.Path, case: str) -> str:
                 f"{_fmt(m.get(f'{sstem}_calibrated', float('nan')))} | "
                 f"{_fmt(fskill) if fskill is not None else '—'} |"
             )
+        if "pdf_w1_u_holdout_qmap" in m:
+            lines += [
+                "",
+                "Distribution-shape (quantile-map) calibration of the "
+                "fluctuation marginals, fit on the disjoint split "
+                "(deploys via `quantile_map.npz`): u' PDF W1 "
+                f"{_fmt(m['pdf_w1_u_holdout_qmap'])} (skill "
+                f"{_fmt(m['pdf_w1_u_skill_holdout_qmap'])}), v' "
+                f"{_fmt(m['pdf_w1_v_holdout_qmap'])} (skill "
+                f"{_fmt(m['pdf_w1_v_skill_holdout_qmap'])}).",
+            ]
     lines += ["", "## UQ calibration", ""]
     cov = _coverage_table(m)
     if cov:
