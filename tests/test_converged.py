@@ -169,6 +169,56 @@ def test_r3_grad_clip_not_saturated():
     assert frac_clipped < 0.25, frac_clipped
 
 
+# ---------------------------------------------------------------------------
+# Round-3 cylinder-array (BASELINE config #2): first converged eval
+# evidence. The 96x96 v2 fixture is harder than backward-step — the
+# model WINS field/vorticity/Reynolds/coverage and LOSES TKE and
+# spectrum to bicubic; both facts are pinned so neither silently
+# regresses nor silently flips without notice.
+
+RUNC = pathlib.Path(__file__).resolve().parent.parent / "runs" / "r3_cylinder"
+METRICSC = RUNC / "eval64" / "cylinder-array" / "eval_metrics.json"
+
+
+@pytest.fixture(scope="module")
+def metrics_cyl() -> dict:
+    _require(METRICSC)
+    return json.loads(METRICSC.read_text())
+
+
+def test_cylinder_converged_nll(metrics_cyl):
+    assert metrics_cyl["test_bpd"] < -7.5
+    assert metrics_cyl["test_bpd_last_step"] < -7.5
+
+
+def test_cylinder_wins(metrics_cyl):
+    assert metrics_cyl["field_skill_vs_baseline"] > 1.2
+    assert metrics_cyl["vorticity_skill_vs_baseline"] > 1.0
+    assert metrics_cyl["reynolds_skill_holdout_calibrated"] > 1.0
+    # Recalibrated holdout coverage within 0.06 of nominal (measured
+    # within 0.008 at every level).
+    for level, got in metrics_cyl["coverage_holdout_recalibrated"].items():
+        assert abs(float(level) - got) < 0.06, (level, got)
+    # Streamfunction-exact reference: the normalized divergence (pred
+    # div RMS / ref vorticity RMS) is the meaningful diagnostic.
+    assert metrics_cyl["divergence_rms_normalized"] < 0.15
+
+
+def test_cylinder_documented_losses(metrics_cyl):
+    # Honest pins on the metrics the cylinder case LOSES to bicubic
+    # (floors so further regression is caught; if either crosses 1.0,
+    # promote to a win pin).
+    assert 0.5 < metrics_cyl["tke_skill_holdout_calibrated"] < 1.0
+    assert metrics_cyl["spectrum_rel_l2"] < 0.6
+    assert metrics_cyl["pdf_w1_u_skill_holdout_qmap"] > 0.4
+    assert metrics_cyl["pdf_w1_v_skill_holdout_qmap"] > 0.6
+    # Quantile mapping must keep beating linear scaling on shape.
+    assert (
+        metrics_cyl["pdf_w1_u_skill_holdout_qmap"]
+        > metrics_cyl["pdf_w1_u_skill_holdout_calibrated"]
+    )
+
+
 def test_training_curve_plateaued():
     val_log = RUN / "checkpoints" / "backward-step" / "val_log.csv"
     _require(val_log)

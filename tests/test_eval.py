@@ -507,6 +507,58 @@ def test_quantile_map_corrects_distribution_shape():
     assert float(far[0]) > float(yq[-1]) + 1.0
 
 
+def test_stratified_quantile_map_fixes_mixture_marginals():
+    """A pooled map cannot correct a MIXTURE whose components are
+    distorted differently; per-stratum maps can (the backward-step v'
+    wake-vs-freestream case). Construct two strata where pred and ref
+    differ by opposite scalings — the pooled map leaves residual W1,
+    the stratified one removes it on held-out samples."""
+    from tpuflow.eval.calibrate import (
+        apply_quantile_map,
+        apply_quantile_map_stratified,
+        fit_quantile_map,
+        fit_quantile_map_stratified,
+    )
+    from tpuflow.eval.stats import wasserstein1
+
+    rng = np.random.default_rng(9)
+    n = 100_000
+    mk = lambda: (  # noqa: E731 — two-strata (2, n) sample pairs
+        jnp.asarray(
+            np.stack([rng.normal(size=n) * 2.0, rng.normal(size=n) * 0.5])
+            .astype(np.float32)
+        ),
+        jnp.asarray(
+            np.stack([rng.normal(size=n) * 0.5, rng.normal(size=n) * 2.0])
+            .astype(np.float32)
+        ),
+    )
+    pred_fit, ref_fit = mk()
+    pred_hold, ref_hold = mk()
+
+    xq, yq = fit_quantile_map_stratified(pred_fit, ref_fit)
+    assert xq.shape == yq.shape == (2, 65)
+    mapped = apply_quantile_map_stratified(pred_hold, xq, yq)
+
+    pxq, pyq = fit_quantile_map(pred_fit, ref_fit)
+    pooled = apply_quantile_map(pred_hold, pxq, pyq)
+
+    # Pooled marginals of pred and ref mixtures are IDENTICAL by
+    # construction (same two components, swapped), so the pooled map
+    # is ~the identity and leaves every stratum's mismatch in place;
+    # stratified maps remove it. Score W1 within each stratum.
+    def per_stratum_w1(x):
+        return np.mean([
+            float(wasserstein1(x[s], ref_hold[s])) for s in (0, 1)
+        ])
+
+    w1_raw = per_stratum_w1(pred_hold)
+    w1_pooled = per_stratum_w1(pooled)
+    w1_strat = per_stratum_w1(mapped)
+    assert w1_pooled > w1_raw * 0.5  # pooled map can't fix strata
+    assert w1_strat < w1_pooled / 5, (w1_raw, w1_pooled, w1_strat)
+
+
 def test_pooled_zscore_fit_matches_concatenated():
     """The streaming multi-trajectory fit (pool per-trajectory z-scores,
     then fit) must equal fitting on member fields concatenated along

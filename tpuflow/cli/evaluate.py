@@ -24,7 +24,9 @@ from tpuflow.eval.calibrate import (
     fit_interval_scales_from_z,
     fit_spread_field_from_z,
     apply_quantile_map,
+    apply_quantile_map_stratified,
     fit_quantile_map,
+    fit_quantile_map_stratified,
     fit_spread_scale_from_z,
     fit_variance_scale_from_moments,
     scale_members,
@@ -344,6 +346,7 @@ def main(argv=None) -> dict:
         z_pool = []
         r2_parts, v_parts = [], []
         qmap_pred, qmap_ref = {0: [], 1: []}, {0: [], 1: []}
+        qmap_pred_x, qmap_ref_x = {0: [], 1: []}, {0: [], 1: []}
         for i in fit_idx:
             m_i, hf_i = (members, hf0) if i == 0 else _members_for(i)
             # Keep the FIELD structure (T, H, W, C): the scalar and
@@ -377,6 +380,16 @@ def main(argv=None) -> dict:
                     np.asarray(fl_m[..., c]).ravel()[::8]
                 )
                 qmap_ref[c].append(np.asarray(fl_r[..., c]).ravel()[::8])
+                # Streamwise-stratified samples (x-column strata) for
+                # the per-stratum maps: (W, pooled-over-N/T/H).
+                w_ax_m = np.moveaxis(np.asarray(fl_m[..., c]), -1, 0)
+                qmap_pred_x[c].append(
+                    w_ax_m.reshape(w_ax_m.shape[0], -1)[:, ::8]
+                )
+                w_ax_r = np.moveaxis(np.asarray(fl_r[..., c]), -1, 0)
+                qmap_ref_x[c].append(
+                    w_ax_r.reshape(w_ax_r.shape[0], -1)
+                )
             del m_i, fl_m, fl_r
         z_fields = jnp.asarray(np.concatenate(z_pool, axis=0))
         del z_pool
@@ -417,6 +430,16 @@ def main(argv=None) -> dict:
             )
             for c in (0, 1)
         }
+        # Streamwise-stratified maps (one per x-column): corrects
+        # mixture-of-strata marginals a pooled map cannot (see
+        # calibrate.fit_quantile_map_stratified).
+        qmaps_x = {
+            c: fit_quantile_map_stratified(
+                jnp.asarray(np.concatenate(qmap_pred_x[c], axis=1)),
+                jnp.asarray(np.concatenate(qmap_ref_x[c], axis=1)),
+            )
+            for c in (0, 1)
+        }
         np.savez(
             out_dir / "quantile_map.npz",
             **{
@@ -424,8 +447,13 @@ def main(argv=None) -> dict:
                 for c, (xq, yq) in qmaps.items()
                 for ax, arr in (("x", xq), ("y", yq))
             },
+            **{
+                f"s{ax}{c}": np.asarray(arr)
+                for c, (xq, yq) in qmaps_x.items()
+                for ax, arr in (("x", xq), ("y", yq))
+            },
         )
-        del qmap_pred, qmap_ref
+        del qmap_pred, qmap_ref, qmap_pred_x, qmap_ref_x
 
         cov_raw = cov_cal = cov_fld = cov_q = cov_s1 = 0.0
         crps_raw = crps_cal = crps_fld = 0.0
@@ -443,8 +471,10 @@ def main(argv=None) -> dict:
             for k in (
                 "tke_raw", "tke_cal", "tke_fld", "tke_base",
                 "rey_raw", "rey_cal", "rey_fld", "rey_base",
-                "w1u_raw", "w1u_cal", "w1u_fld", "w1u_qmap", "w1u_base",
-                "w1v_raw", "w1v_cal", "w1v_fld", "w1v_qmap", "w1v_base",
+                "w1u_raw", "w1u_cal", "w1u_fld", "w1u_qmap", "w1u_qmapx",
+                "w1u_base",
+                "w1v_raw", "w1v_cal", "w1v_fld", "w1v_qmap", "w1v_qmapx",
+                "w1v_base",
             )
         }
         report_idx = hold_idx or [0]  # in-sample fallback for 1 traj
@@ -535,10 +565,17 @@ def main(argv=None) -> dict:
                     )
                 # Distribution-shape calibration: the quantile map fit
                 # on the disjoint split applied to the RAW member
-                # fluctuations (calibrate.fit_quantile_map).
+                # fluctuations (calibrate.fit_quantile_map), pooled
+                # and streamwise-stratified variants.
                 fl_q = apply_quantile_map(raw_fl[..., c], *qmaps[c])
                 sm[f"w1{cname}_qmap"] += (
                     float(wasserstein1(fl_q, ref_fl_i[..., c])) / ref_std_i
+                )
+                fl_qx = apply_quantile_map_stratified(
+                    jnp.moveaxis(raw_fl[..., c], -1, 0), *qmaps_x[c]
+                )
+                sm[f"w1{cname}_qmapx"] += (
+                    float(wasserstein1(fl_qx, ref_fl_i[..., c])) / ref_std_i
                 )
                 sm[f"w1{cname}_base"] += (
                     float(wasserstein1(base_fl_i[..., c], ref_fl_i[..., c]))
@@ -594,6 +631,15 @@ def main(argv=None) -> dict:
             pdf_w1_v_holdout_qmap=sm["w1v_qmap"],
             pdf_w1_v_skill_holdout_qmap=skill(
                 sm["w1v_qmap"], sm["w1v_base"]
+            ),
+            # Streamwise-stratified quantile maps (one per x-column).
+            pdf_w1_u_holdout_qmapx=sm["w1u_qmapx"],
+            pdf_w1_u_skill_holdout_qmapx=skill(
+                sm["w1u_qmapx"], sm["w1u_base"]
+            ),
+            pdf_w1_v_holdout_qmapx=sm["w1v_qmapx"],
+            pdf_w1_v_skill_holdout_qmapx=skill(
+                sm["w1v_qmapx"], sm["w1v_base"]
             ),
             # Per-location spread-field calibration (the "fld" column):
             # same disjoint fit/holdout protocol, field deploys via

@@ -22,6 +22,7 @@ cli/rollout.py), so calibrated UQ costs nothing at deployment.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -169,6 +170,49 @@ def apply_quantile_map(
     out = jnp.where(v < xq[0], yq[0] + (v - xq[0]) * lo_slope, out)
     out = jnp.where(v > xq[-1], yq[-1] + (v - xq[-1]) * hi_slope, out)
     return out
+
+
+def fit_quantile_map_stratified(
+    pred_vals: jnp.ndarray,
+    ref_vals: jnp.ndarray,
+    n_quantiles: int = 65,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-stratum quantile maps: one CDF match per leading index.
+
+    A single pooled map fails when the marginal is a spatial MIXTURE
+    whose mixture weights the ensemble already gets right but whose
+    component shapes it distorts differently (measured: the
+    backward-step v' marginal — wake vs freestream strata — transfers
+    a pooled map at skill 0.31 where linear scaling reaches 0.47).
+    Stratifying by streamwise column is the climate-downscaling
+    standard (bias correction is fit per grid cell); each stratum's
+    map corrects its own component and the pooled mixture follows.
+
+    Args:
+      pred_vals: (S, M) predicted samples per stratum.
+      ref_vals: (S, K) reference samples per stratum.
+
+    Returns: (xq, yq), each (S, n_quantiles) — apply with
+    ``apply_quantile_map_stratified``.
+    """
+    p = (jnp.arange(n_quantiles, dtype=jnp.float32) + 0.5) / n_quantiles
+    xq = jnp.quantile(
+        pred_vals.astype(jnp.float32), p, axis=1
+    ).T  # (S, n_q)
+    yq = jnp.quantile(ref_vals.astype(jnp.float32), p, axis=1).T
+    span = xq[:, -1:] - xq[:, :1] + 1.0
+    eps = 1e-7 * span * jnp.arange(n_quantiles)
+    xq = jax.lax.cummax(xq + eps, axis=1)
+    return xq, yq
+
+
+def apply_quantile_map_stratified(
+    vals: jnp.ndarray, xq: jnp.ndarray, yq: jnp.ndarray
+) -> jnp.ndarray:
+    """Apply per-stratum maps: vals (S, ...) with stratum axis 0."""
+    flat = vals.reshape(vals.shape[0], -1)
+    out = jax.vmap(apply_quantile_map)(flat, xq, yq)
+    return out.reshape(vals.shape)
 
 
 def fit_spread_field_from_z(

@@ -201,11 +201,20 @@ def build_report(out_dir: pathlib.Path, case: str) -> str:
                 "",
                 "Distribution-shape (quantile-map) calibration of the "
                 "fluctuation marginals, fit on the disjoint split "
-                "(deploys via `quantile_map.npz`): u' PDF W1 "
+                "(deploys via `quantile_map.npz`): pooled map u' PDF W1 "
                 f"{_fmt(m['pdf_w1_u_holdout_qmap'])} (skill "
                 f"{_fmt(m['pdf_w1_u_skill_holdout_qmap'])}), v' "
                 f"{_fmt(m['pdf_w1_v_holdout_qmap'])} (skill "
-                f"{_fmt(m['pdf_w1_v_skill_holdout_qmap'])}).",
+                f"{_fmt(m['pdf_w1_v_skill_holdout_qmap'])})."
+                + (
+                    " Streamwise-stratified maps: u' "
+                    f"{_fmt(m['pdf_w1_u_holdout_qmapx'])} (skill "
+                    f"{_fmt(m['pdf_w1_u_skill_holdout_qmapx'])}), v' "
+                    f"{_fmt(m['pdf_w1_v_holdout_qmapx'])} (skill "
+                    f"{_fmt(m['pdf_w1_v_skill_holdout_qmapx'])})."
+                    if "pdf_w1_u_holdout_qmapx" in m
+                    else ""
+                ),
             ]
     lines += ["", "## UQ calibration", ""]
     cov = _coverage_table(m)
