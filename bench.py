@@ -60,7 +60,13 @@ _WATCHDOG_GRACE_S = 200
 # Latest wall-clock (seconds since start) at which each secondary
 # section may START; a section past its deadline is skipped with an
 # explicit marker instead of risking the record already in hand.
-_SECTION_START_DEADLINE_S = {"train": 700, "pallas": 1000, "cylinder": 1150}
+# The watchdog's progressive emission makes late sections harmless
+# (worst case it fires mid-section, emits the current record, exits 0
+# — and every skipped/unfinished section already carries its committed
+# fallback), so deadlines are sized to give each live section a real
+# chance after a worst-case ~900s primary compile, not to protect the
+# record.
+_SECTION_START_DEADLINE_S = {"train": 950, "cylinder": 1150, "pallas": 1250}
 
 # CPU-reference throughput for the identical model/config (100-step,
 # 64-sample backward-step ensemble on the host CPU) — the BASELINE.md
@@ -70,6 +76,33 @@ _SECTION_START_DEADLINE_S = {"train": 700, "pallas": 1000, "cylinder": 1150}
 # the rollout dominates); do NOT re-measure inline — that is what
 # timed out round 2's driver run.
 CPU_DENOMINATOR_STEPS_PER_SEC = 0.190
+
+# Committed measurements reported when a section's live run is
+# deadline-skipped (value, provenance). Keep in sync with the cited
+# artifacts when they are re-measured.
+_COMMITTED_FALLBACKS = {
+    "train": {
+        "train_windows_per_sec": (
+            13.97,
+            "committed 400-epoch on-chip run, identical config "
+            "(runs/r3_train/supervisor.log, 2026-08-20)",
+        ),
+    },
+    "cylinder": {
+        "cylinder_steps_per_sec": (
+            425.0,
+            "committed r3 bench rehearsal on this chip (PERF_NOTES r3, "
+            "2026-08-21)",
+        ),
+    },
+    "pallas": {
+        "pallas_parity_max_rel_err": (
+            1.6e-5,
+            "committed on-chip fused-kernel parity measurement "
+            "(docs/PERF_NOTES.md 'Fused-kernel status')",
+        ),
+    },
+}
 
 ROLLOUT_STEPS = 100
 N_SAMPLES = 64
@@ -137,6 +170,13 @@ def _section_ok(name: str) -> bool:
         f"{deadline}s start deadline"
     )
     RESULT[f"{name}_skipped"] = f"start deadline {deadline}s exceeded"
+    # A deadline-skipped section still reports its COMMITTED number so
+    # the driver artifact is complete on slow-compile days (the r3
+    # rehearsal: a 912s rollout compile skipped train+pallas). Source
+    # of record for each constant is in _COMMITTED_FALLBACKS.
+    for key, (val, src) in _COMMITTED_FALLBACKS.get(name, {}).items():
+        RESULT.setdefault(key, val)
+        RESULT.setdefault(f"{key}_source", src)
     return False
 
 
