@@ -951,3 +951,30 @@ def test_sweep_members(tmp_path):
         (tmp_path / "eval" / "backward-step" / "members_sweep.json").read_text()
     )
     assert saved == rows
+
+
+def test_probe_tau_stability_smoke(tmp_path):
+    """The sampling-stability probe (PAPER_PARITY 'Sampling stability'
+    measurement tool) runs untrained+synthetic at low tau: one row per
+    (clip, tau, seed), finite at init, with the z_clip rows present."""
+    from tpuflow.tools.probe_tau_stability import main as probe_main
+
+    rows = probe_main(
+        [
+            "backward-step",
+            "taus=0.5", "clips=0,3", "seeds=1",
+            "model.n_scales=2", "model.n_flow_steps=2",
+            "model.coupling_width=8", "model.coupling_layers=2",
+            "model.growth_rate=4", "model.encoder_width=8",
+            "model.lstm_hidden=8", "model.cond_channels=8",
+            "model.hf_shape=16,32", "model.lf_shape=4,8",
+            "model.use_pallas=false",
+            "data.n_test_traj=1", "data.train_steps=6",
+            "eval.n_samples=2", "eval.rollout_steps=4",
+            "eval.allow_untrained=true",
+        ]
+    )
+    assert [r["z_clip"] for r in rows] == [0.0, 3.0]
+    for r in rows:
+        assert r["first_nonfinite_step"] == -1  # finite at init
+        assert len(r["max_abs_head"]) == 4
