@@ -154,3 +154,27 @@ def test_graft_entry_forward_step_jits():
 def test_graft_entry_dryrun_multichip_8dev():
     g = _load("__graft_entry__")
     g.dryrun_multichip(8)  # raises/asserts on any sharding failure
+
+
+def test_bench_primary_fallback_is_labelled_and_superseded():
+    """When the live compile outlives the watchdog, the primary record
+    degrades to the COMMITTED measurement with an explicit source
+    label (never a null value — round-2's lost-number failure mode);
+    a live number arriving later supersedes it and drops the label."""
+    bench = _load("bench")
+    bench.RESULT.clear()
+    bench._apply_primary_fallback("WATCHDOG")
+    r = bench.RESULT
+    assert r["value"] == bench.COMMITTED_PRIMARY_STEPS_PER_SEC
+    assert r["vs_baseline"] == round(
+        bench.COMMITTED_PRIMARY_STEPS_PER_SEC
+        / bench.CPU_DENOMINATOR_STEPS_PER_SEC,
+        2,
+    )
+    assert "committed" in r["value_source"]
+    assert "WATCHDOG" in r["unit"]
+    # Live supersede: the primary section pops the source label.
+    r.pop("value_source", None)
+    r.update({"value": 111.0})
+    assert "value_source" not in r
+    bench.RESULT.clear()
