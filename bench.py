@@ -82,7 +82,7 @@ CPU_DENOMINATOR_STEPS_PER_SEC = 0.190
 # the watchdog (compile variance through the remote helper measured
 # 668s..>1390s for the identical graph within one day). From the
 # 2026-08-21 rc=0 run recorded in docs/PERF_NOTES.md (r3).
-COMMITTED_PRIMARY_STEPS_PER_SEC = 108.398
+COMMITTED_PRIMARY_STEPS_PER_SEC = 108.941
 
 # Committed measurements reported when a section's live run is
 # deadline-skipped (value, provenance). Keep in sync with the cited
@@ -90,16 +90,16 @@ COMMITTED_PRIMARY_STEPS_PER_SEC = 108.398
 _COMMITTED_FALLBACKS = {
     "train": {
         "train_windows_per_sec": (
-            13.97,
-            "committed 400-epoch on-chip run, identical config "
-            "(runs/r3_train/supervisor.log, 2026-08-20)",
+            14.638,
+            "committed full r3 bench run on this chip (rc=0, "
+            "2026-08-21, PERF_NOTES r3)",
         ),
     },
     "cylinder": {
         "cylinder_steps_per_sec": (
-            425.0,
-            "committed r3 bench rehearsal on this chip (PERF_NOTES r3, "
-            "2026-08-21)",
+            423.451,
+            "committed full r3 bench run on this chip (rc=0, "
+            "2026-08-21, PERF_NOTES r3)",
         ),
     },
     "pallas": {
