@@ -163,7 +163,14 @@ def _watchdog():
 
 def _apply_primary_fallback(origin: str) -> None:
     """Fill the primary record from the committed measurement when the
-    live run never produced one (labelled, never silent)."""
+    live run never produced one (labelled, never silent).
+
+    ``is_fallback=true`` is a TOP-LEVEL boolean so a consumer keying on
+    ``value``/``vs_baseline`` alone cannot mistake the committed
+    constant for a fresh measurement (r3 advisor finding): provenance
+    no longer lives only in the unit/value_source strings."""
+    RESULT["is_fallback"] = True
+    RESULT.setdefault("committed_fallback_value", COMMITTED_PRIMARY_STEPS_PER_SEC)
     RESULT.setdefault("metric", "rollout_steps_per_sec_chip_bstep64")
     RESULT.setdefault("value", COMMITTED_PRIMARY_STEPS_PER_SEC)
     RESULT.setdefault(
@@ -464,9 +471,11 @@ def main() -> None:
         denominator = value  # CPU-on-CPU: speedup is 1 by construction
         denom_src = "self (CPU run)"
     RESULT.pop("value_source", None)  # live number supersedes fallback
+    RESULT.pop("committed_fallback_value", None)
     RESULT.update(
         {
             "metric": "rollout_steps_per_sec_chip_bstep64",
+            "is_fallback": False,  # live measurement (r3 advisor finding)
             "value": round(value, 3),
             "unit": "steps/s (100-step, 64-sample ensemble, backward-step)"
             + (" [CPU FALLBACK: accelerator unreachable]" if fallback else ""),

@@ -139,6 +139,13 @@ class ConditionalPrior(nn.Module):
                 name="prior",
             )(cond)
             z = gaussian_sample(rng, mean, log_std, temperature, self.z_clip)
+            # NOTE: when z_clip binds (~6e-5 of draws at clip 4) the
+            # returned logp is the UNTRUNCATED Gaussian density at the
+            # clipped z, not the log-density of the actual
+            # truncated-with-boundary-atoms sampling distribution.
+            # This is a sample-path diagnostic only (training/NLL never
+            # samples); exact self-consistency would require evaluating
+            # at the pre-clip draw.
             return z, -gaussian_logp(z, mean, log_std, self.layout)
 
         z = z_or_shape

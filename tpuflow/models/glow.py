@@ -33,6 +33,27 @@ from tpuflow.flows import (
 from tpuflow.flows.layout import batch_shape as _batch_shape
 
 
+def _per_scale_temperature(temperature, n_scales: int) -> list:
+    """Normalize a sampling temperature to one value per scale.
+
+    Scalars (Python floats or 0-d arrays, traced or not) broadcast to
+    every scale; an (n_scales,) vector maps entry l to scale l (l=0 is
+    the finest-resolution split). The shape check is static, so both
+    forms jit cleanly.
+    """
+    if isinstance(temperature, (int, float)):
+        return [temperature] * n_scales
+    t = jnp.asarray(temperature)
+    if t.ndim == 0:
+        return [temperature] * n_scales
+    if t.shape != (n_scales,):
+        raise ValueError(
+            f"per-scale temperature must have shape ({n_scales},), got "
+            f"{t.shape}"
+        )
+    return [t[l] for l in range(n_scales)]
+
+
 class GlowStep(nn.Module):
     """One step of flow: ActNorm → InvConv1x1(LU) → AffineCoupling."""
 
@@ -172,10 +193,19 @@ class MultiScaleGlow(nn.Module):
         temperature: float | jax.Array = 1.0,
         inv_caches: list[list[jax.Array]] | None = None,
     ) -> tuple[jax.Array, jax.Array]:
+        """``temperature`` is a scalar tau applied to every scale, OR an
+        (L,)-vector of PER-SCALE taus: entry l scales the latent drawn
+        at scale l (l=0 = the finest-resolution split, l=L-1 = the base
+        prior at the coarsest scale). Per-scale control exists because
+        the factored latents own disjoint wavenumber bands — the fine
+        split carries the high-k content — so fine-scale sampling noise
+        can be damped without touching the resolved large scales
+        (docs/PARITY.md r3 cylinder spectrum diagnosis)."""
         L = self.n_scales
         if latents is None and rng is None:
             raise ValueError("reverse needs latents (reconstruction) or rng")
         rngs = list(jax.random.split(rng, L)) if rng is not None else [None] * L
+        taus = _per_scale_temperature(temperature, L)
         logp = None
 
         # Base latent at the deepest scale.
@@ -185,7 +215,7 @@ class MultiScaleGlow(nn.Module):
         else:
             h, neg_lp = self.base_prior(
                 self.base_channels, conds[L - 1], reverse=True,
-                rng=rngs[L - 1], temperature=temperature,
+                rng=rngs[L - 1], temperature=taus[L - 1],
             )
             lp = -neg_lp
         logp = lp
@@ -199,7 +229,7 @@ class MultiScaleGlow(nn.Module):
                 else:
                     h, neg_lp = self.splits[l](
                         h, conds[l], reverse=True,
-                        rng=rngs[l], temperature=temperature,
+                        rng=rngs[l], temperature=taus[l],
                     )
                 logp = logp - neg_lp
             for k in range(self.n_steps - 1, -1, -1):

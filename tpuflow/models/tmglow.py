@@ -245,6 +245,50 @@ class TMGlow(nn.Module):
         x, _ = self.glow.reverse(conds, rng=rng, temperature=temperature)
         return from_layout(x, self.cfg.flow_layout), state
 
+    def nll_and_sample_step(
+        self,
+        hf_t: jax.Array,
+        lf_t: jax.Array,
+        state: LSTMState,
+        rng: jax.Array,
+        temperature: float | jax.Array = 1.0,
+        n_members: int = 4,
+    ) -> tuple[jax.Array, jax.Array, LSTMState]:
+        """One timestep of BOTH directions under ONE conditioning pass:
+        teacher-forced NLL (training anchor) plus ``n_members``
+        generative draws (the dispersion/spectral fine-tune signal —
+        VERDICT r3 items 1-2: put sample-path statistics in the
+        training loop instead of post-hoc calibration).
+
+        The ConvLSTM state evolves from LF features only (never from
+        hf_t or sampled output — see ``_condition``), so the teacher
+        and sample paths share the *identical* conditioning trajectory;
+        members need no per-member state. Members fold into the batch
+        axis of one ``glow.reverse`` call (conds repeated n_members
+        times) so the MXU sees one large batch instead of an unrolled
+        member loop.
+
+        Returns (bpd (B,), members (B, n_members, H, W, C) batch-major,
+        new_state).
+        """
+        dims = hf_t.shape[-3] * hf_t.shape[-2] * hf_t.shape[-1]
+        conds, state = self._condition(lf_t, state)
+        _, logdet, logp = self.glow.forward(
+            to_layout(hf_t, self.cfg.flow_layout), conds
+        )
+        bpd = -(logp + logdet) / (dims * _LN2)
+
+        b_ax = member_axis(self.cfg.flow_layout)
+        conds_m = [jnp.repeat(c, n_members, axis=b_ax) for c in conds]
+        x_m, _ = self.glow.reverse(
+            conds_m, rng=rng, temperature=temperature
+        )
+        x_m = from_layout(x_m, self.cfg.flow_layout)  # (B*M, H, W, C)
+        members = x_m.reshape(
+            hf_t.shape[0], n_members, *x_m.shape[1:]
+        )  # repeat is consecutive per batch element -> (B, M, ...)
+        return bpd, members, state
+
     def encode_lf(self, lf: jax.Array) -> list[jax.Array]:
         """LF frame(s) -> encoder feature pyramid. Batch-generic: pass
         a whole (T, h, w, C) trajectory to encode every step in one

@@ -96,6 +96,10 @@ def sweep(cfg, temperatures) -> list[dict]:
             refs = [hf[:t_cal] for hf in hf_ref]
         fit_idx = list(range(0, ds.n_traj, 2))
         hold_idx = list(range(1, ds.n_traj, 2)) or fit_idx
+        # With a single trajectory the holdout falls back to the fit
+        # set; flag that in every row (r3 advisor finding) the same way
+        # evaluate.py records calibration_in_sample.
+        calib_in_sample = hold_idx == fit_idx
 
     rows = []
     for tau in temperatures:
@@ -185,6 +189,7 @@ def sweep(cfg, temperatures) -> list[dict]:
                 row["tke_rel_l2_calibrated"] = float(np.mean(tke_cal))
                 row["pdf_w1_u"] = float(np.mean(w1u))
                 row["pdf_w1_v"] = float(np.mean(w1v))
+                row["calibration_in_sample"] = calib_in_sample
         rows.append(row)
     return rows
 
