@@ -233,7 +233,7 @@ def test_eval_without_checkpoint_is_hard_error(tmp_path):
         load_eval_bundle(cfg)
 
     cfg2 = parse_args(_overrides(tmp_path) + ["eval.allow_untrained=true"])
-    model, variables, norm = load_eval_bundle(cfg2)
+    model, variables, norm, ckpt_meta = load_eval_bundle(cfg2)
     assert norm is None  # fresh init carries no dataset constants
 
 

@@ -96,9 +96,10 @@ def test_fixture_v2_spectral_truncation():
 
 
 def test_fixture_version_validation():
+    # v3 exists since r4 (broadband cascade); 4 is the first invalid.
     with pytest.raises(ValueError, match="fixture_version"):
         generate_case("backward-step", 1, 2, (16, 16), (4, 4),
-                      fixture_version=3)
+                      fixture_version=4)
 
 
 def test_dataset_normalization_and_windows():

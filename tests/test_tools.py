@@ -150,7 +150,7 @@ def test_convert_main_produces_loadable_checkpoint(tmp_path):
     from tpuflow.cli import parse_args
 
     cfg = parse_args(overrides)
-    model2, variables2, norm = load_eval_bundle(cfg)
+    model2, variables2, norm, _meta = load_eval_bundle(cfg)
     assert norm is not None  # converter computed dataset constants
     bpd_src, _ = model.apply(variables, hf, lf, init_lstm_state(MC, (1,)))
     bpd_conv, _ = model2.apply(
@@ -211,11 +211,14 @@ def test_export_rollout_roundtrip(tmp_path):
     from tpuflow.eval.rollout import make_ensemble_rollout
 
     cfg = parse_args(overrides)
-    model, variables, norm = load_eval_bundle(cfg)
+    model, variables, norm, ckpt_meta = load_eval_bundle(cfg)
     ds = load_dataset(cfg.data, cfg.model, "test", norm=norm)
     lf = np.asarray(ds.lf[0, :6], dtype=np.float32)
 
-    served = fn.call(lf, np.uint32(7), np.float32(cfg.eval.temperature))
+    # Per-scale artifact contract (r4): tau is an (n_scales,) vector;
+    # a uniform vector == the scalar behavior.
+    tau_vec = np.full((cfg.model.n_scales,), cfg.eval.temperature, np.float32)
+    served = fn.call(lf, np.uint32(7), tau_vec)
     rollout = jax.jit(
         make_ensemble_rollout(model, 4, cfg.eval.temperature, "stats")
     )
@@ -232,7 +235,7 @@ def test_export_rollout_roundtrip(tmp_path):
     )
     # Temperature is a runtime argument of the artifact: tau=0 collapses
     # the ensemble onto the conditional-prior mean (zero spread).
-    cold = fn.call(lf, np.uint32(7), np.float32(0.0))
+    cold = fn.call(lf, np.uint32(7), np.zeros_like(tau_vec))
     assert float(np.asarray(cold["var"]).max()) < 1e-8
 
     # ---- serving tier (tools/serve.py) on the same artifact ----

@@ -37,7 +37,12 @@ from tpuflow.utils.profiling import step_timer
 
 def main(argv=None) -> dict:
     cfg = parse_args(argv)
-    model, variables, norm = load_eval_bundle(cfg)
+    model, variables, norm, ckpt_meta = load_eval_bundle(cfg)
+    # Deployed sampling temperature: explicit per-scale override >
+    # fine-tuned learned_tau in the checkpoint > scalar (loading.py).
+    from tpuflow.eval.loading import resolve_temperature
+
+    temperature = resolve_temperature(cfg, ckpt_meta)
     # The checkpoint's stored normalization constants are authoritative
     # (a converted/real checkpoint may have been trained with different
     # statistics than this machine's dataset would recompute).
@@ -71,7 +76,7 @@ def main(argv=None) -> dict:
         mesh = make_mesh(data=1, ensemble=len(jax.devices()))
     rollout = jax.jit(
         make_ensemble_rollout(
-            model, cfg.eval.n_samples, cfg.eval.temperature,
+            model, cfg.eval.n_samples, temperature,
             collect="stats", mesh=mesh,
         )
     )
@@ -151,7 +156,7 @@ def main(argv=None) -> dict:
     # Individual member samples (small fields-mode rollout to t_mid+1).
     n_show = min(8, cfg.eval.n_samples)
     fields_fn = jax.jit(
-        make_ensemble_rollout(model, n_show, cfg.eval.temperature, "fields")
+        make_ensemble_rollout(model, n_show, temperature, "fields")
     )
     fields = fields_fn(
         variables, jnp.asarray(lf_traj[: t_mid + 1]), jax.random.PRNGKey(2)
@@ -163,7 +168,11 @@ def main(argv=None) -> dict:
     metrics.update(
         steps=T,
         n_samples=cfg.eval.n_samples,
-        temperature=cfg.eval.temperature,
+        # Per-scale (fine-tuned/overridden) taus serialize as a list.
+        temperature=(
+            float(temperature) if np.ndim(temperature) == 0
+            else [float(t) for t in np.asarray(temperature)]
+        ),
         backend=jax.default_backend(),
     )
     (out_dir / "rollout_metrics.json").write_text(json.dumps(metrics, indent=2))

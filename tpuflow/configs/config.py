@@ -135,10 +135,14 @@ class DataConfig:
     # degradation only (golden-pinned); 2 = LF is a coarse re-run with
     # growing temporal phase error + spectral truncation — the failure
     # mode TM-Glow exists to correct (arXiv:2006.04731 §1-2's
-    # multi-fidelity premise). v2 is the DEFAULT posture for training,
-    # eval and the bench; the golden pins (tests/test_golden.py) call
-    # the generator with an explicit version and stay on v1. Ignored
-    # for real archives.
+    # multi-fidelity premise); 3 = v2 plus a broadband HF-only
+    # turbulent cascade (E(k) ~ k^-3 between the LF and HF resolution
+    # limits, stochastic per mode — genuine conditional uncertainty at
+    # high k; VERDICT r3 item 3). v2 is the DEFAULT posture for
+    # training, eval and the bench until v3 is validated by a
+    # converged run; the golden pins (tests/test_golden.py) call the
+    # generator with an explicit version and stay on v1. Ignored for
+    # real archives.
     fixture_version: int = 2
     # Training-split loading strategy: "ram" loads the whole archive
     # (reference behaviour); "stream" serves trajectory batches from a
@@ -220,6 +224,12 @@ class EvalConfig:
     # TKE + CRPS with flat field error (runs/r3_tau sweep); default
     # matches the measured case presets.
     temperature: float = 0.85
+    # Per-scale sampling temperatures "t0,t1,t2" (scale 0 = the finest
+    # split — models/glow.py reverse). "" = use the scalar
+    # `temperature`, unless the checkpoint carries a fine-tuned
+    # "learned_tau" in its meta (eval/loading.resolve_temperature
+    # priority: this override > learned_tau > scalar).
+    temperature_scales: str = ""
     output_dir: str = "./eval_out"
     # jax.profiler trace directory for the rollout ("" = off).
     trace_dir: str = ""
@@ -259,12 +269,45 @@ class EvalConfig:
 
 
 @dataclass(frozen=True)
+class FinetuneConfig:
+    """Sample-path fine-tuning knobs (train/finetune.py): dispersion +
+    spectral-shape objectives evaluated on generative draws, starting
+    from a converged NLL checkpoint (VERDICT r3 items 1-2)."""
+
+    epochs: int = 8
+    # Generative draws per trajectory per timestep (folded into the
+    # batch axis of one reverse pass — models/tmglow.py
+    # nll_and_sample_step).
+    n_members: int = 6
+    # Trajectories per fine-tune batch (smaller than training: the
+    # sample branch multiplies the effective batch by n_members).
+    batch_size: int = 4
+    # Fair-ensemble-CRPS weight (dispersion in the loop; 0 = off).
+    lambda_crps: float = 0.0
+    # Member-fluctuation log-spectrum MSE weight (0 = off).
+    lambda_spec: float = 0.0
+    lr: float = 1e-4
+    grad_clip: float = 1000.0
+    # Optimize a per-scale log sampling temperature jointly with the
+    # parameters; deployed via checkpoint meta "learned_tau".
+    learn_tau: bool = True
+    remat: bool = False
+    # Source checkpoint directory ("" = train.checkpoint_dir). The
+    # fine-tuned checkpoint saves to checkpoint_dir ("" = source +
+    # "_ft"), never overwriting the source run.
+    source_dir: str = ""
+    checkpoint_dir: str = ""
+    seed: int = 7
+
+
+@dataclass(frozen=True)
 class CaseConfig:
     name: str = "backward-step"
     model: ModelConfig = field(default_factory=ModelConfig)
     data: DataConfig = field(default_factory=DataConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     eval: EvalConfig = field(default_factory=EvalConfig)
+    finetune: FinetuneConfig = field(default_factory=FinetuneConfig)
 
     def validate(self) -> None:
         self.model.validate()

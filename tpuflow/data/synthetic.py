@@ -27,6 +27,24 @@ fixture versions selected by ``fixture_version``:
   Same vortex identities and phases as the HF run, so LF stays
   genuinely informative about the HF trajectory — just increasingly
   out of phase, exactly like a real coarse solve.
+* v3: v2 plus a BROADBAND small-scale turbulent cascade in the HF
+  fields (VERDICT r3 item 3). The v1/v2 HF is streamfunction-smooth —
+  near-zero high-wavenumber fluctuation energy — so the eval's
+  spectrum metric measured smoothness (any generative sampling noise
+  dominated the ratio) and a bicubic time-average could win the
+  second moments at long windows. v3 superimposes a divergence-free
+  spectral streamfunction cascade (E(k) ~ k^-3, the 2D enstrophy
+  range) between the LF resolution limit and the HF isotropic
+  Nyquist, evolved as an advected AR(1) per Fourier mode with
+  k-dependent decorrelation (small eddies die fastest). The cascade
+  realization is drawn AFTER the shared large-scale system and never
+  enters the LF pipeline, so: (a) HF carries realistic high-k
+  content the spectrum metric can discriminate, (b) the fine scales
+  are GENUINELY unpredictable from LF (the conditional distribution
+  has real variance — ensemble spread means something), and (c)
+  LF<->HF correlation decays with horizon by construction (stochastic
+  fine scales + the v2 large-scale phase drift). v1/v2 random streams
+  are untouched (the cascade draws come after all v2 draws).
 
 All generation is vectorized NumPy on host; the arrays are consumed by
 the JAX pipeline as device inputs.
@@ -135,9 +153,20 @@ def _hf_trajectory(case, params, steps, hf_shape, phases,
 
     if case == "backward-step":
         # Solid step region: zero velocity (geometry mask).
-        mask = (xs < 0.5) & (ys < 0.5)
-        hf[:, mask, :2] = 0.0
+        hf[:, _bstep_mask(hf_shape), :2] = 0.0
     return hf
+
+
+def _bstep_mask(hf_shape: tuple[int, int]) -> np.ndarray:
+    """Backward-step solid-region mask (shared by _hf_trajectory and
+    the v3 cascade injection so the geometry cannot drift)."""
+    h, w = hf_shape
+    ys, xs = np.meshgrid(
+        np.linspace(0.0, 1.0, h, endpoint=False),
+        np.linspace(0.0, 4.0, w, endpoint=False),
+        indexing="ij",
+    )
+    return (xs < 0.5) & (ys < 0.5)
 
 
 def _degrade_to_lf(hf, lf_shape, rng, spectral_cut=0.0):
@@ -174,6 +203,63 @@ def _degrade_to_lf(hf, lf_shape, rng, spectral_cut=0.0):
     return lf.astype(np.float32)
 
 
+def _cascade_fluct(
+    steps: int,
+    hf_shape: tuple[int, int],
+    lf_shape: tuple[int, int],
+    rng: np.random.Generator,
+    adv: float,
+    dt: float = 0.05,
+    slope: float = -3.0,
+    tau0: float = 0.45,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Divergence-free broadband velocity fluctuations (fixture v3).
+
+    Spectral streamfunction psi with |psi_k| ~ k^((slope-3)/2) so the
+    radial kinetic-energy spectrum follows E(k) ~ k^slope (2D
+    enstrophy-range default -3), restricted to the band between the LF
+    grid's isotropic Nyquist (what a coarse mesh can carry) and the HF
+    grid's. Each Fourier mode advects downstream at the mean speed and
+    decorrelates as AR(1) with time constant tau0 * (k_lo / k): small
+    eddies forget fastest, so the fine-scale realization is
+    unpredictable beyond ~one eddy turnover — the physical reason an
+    ensemble surrogate beats any deterministic interpolant at high k.
+
+    Returns (u', v') of shape (steps, H, W), unit total RMS (caller
+    scales).
+    """
+    h, w = hf_shape
+    ly, lx = 1.0, 4.0  # fixed fixture domain (see _hf_trajectory)
+    ky = np.fft.fftfreq(h)[:, None] * h / ly   # cycles per unit length
+    kx = np.fft.rfftfreq(w)[None, :] * w / lx
+    kr = np.sqrt(ky * ky + kx * kx)
+    k_hi = min(h / (2 * ly), w / (2 * lx))
+    k_lo = 0.8 * min(lf_shape[0] / (2 * ly), lf_shape[1] / (2 * lx))
+    band = (kr >= k_lo) & (kr <= k_hi)
+    with np.errstate(divide="ignore"):
+        amp = np.where(band, kr ** ((slope - 3.0) / 2.0), 0.0)
+    amp[~np.isfinite(amp)] = 0.0
+
+    def innovation() -> np.ndarray:
+        # rfft2 of a real white field is Hermitian-consistent by
+        # construction (no manual symmetry bookkeeping).
+        return np.fft.rfft2(rng.standard_normal((h, w))) * amp
+
+    rho = np.exp(-dt * np.maximum(kr, k_lo) / (tau0 * k_lo))
+    phase = np.exp(-2j * np.pi * kx * adv * dt)
+    psi = innovation()
+    u = np.empty((steps, h, w), np.float64)
+    v = np.empty((steps, h, w), np.float64)
+    for t in range(steps):
+        if t > 0:
+            psi = phase * rho * psi + np.sqrt(1.0 - rho * rho) * innovation()
+        # u = d(psi)/dy, v = -d(psi)/dx: solenoidal by construction.
+        u[t] = np.fft.irfft2(2j * np.pi * ky * psi, s=(h, w))
+        v[t] = np.fft.irfft2(-2j * np.pi * kx * psi, s=(h, w))
+    rms = np.sqrt(np.mean(u * u + v * v)) + 1e-12
+    return (u / rms).astype(np.float32), (v / rms).astype(np.float32)
+
+
 def generate_case(
     case: str,
     n_traj: int,
@@ -197,8 +283,10 @@ def generate_case(
     """
     if case not in _CASES:
         raise ValueError(f"unknown case {case!r}; known: {_CASES}")
-    if fixture_version not in (1, 2):
-        raise ValueError(f"fixture_version must be 1 or 2, got {fixture_version}")
+    if fixture_version not in (1, 2, 3):
+        raise ValueError(
+            f"fixture_version must be 1, 2 or 3, got {fixture_version}"
+        )
     root = np.random.default_rng(seed)
     lf_all, hf_all = [], []
     for n in range(n_traj):
@@ -221,6 +309,24 @@ def generate_case(
                 adv_scale=adv_scale, freq_scale=freq_scale,
             )
             lf = _degrade_to_lf(lf_src, lf_shape, rng, spectral_cut=0.6)
+        if fixture_version == 3:
+            # Broadband HF-only cascade (module docstring, v3): drawn
+            # AFTER every v2 draw so v1/v2 streams stay bit-stable;
+            # never enters the LF pipeline (the coarse mesh cannot
+            # carry the band, and the realization is unpredictable
+            # from LF by construction).
+            cu, cv = _cascade_fluct(
+                steps, hf_shape, lf_shape, rng, adv=0.8 * params["re"]
+            )
+            fluct = hf[..., :2] - hf[..., :2].mean(axis=0, keepdims=True)
+            a = 0.30 * float(np.sqrt((fluct ** 2).mean()))
+            u = hf[..., 0] + a * cu
+            v = hf[..., 1] + a * cv
+            p = -0.5 * (u * u + v * v)
+            p -= p.mean(axis=(1, 2), keepdims=True)
+            hf = np.stack([u, v, p], axis=-1).astype(np.float32)
+            if case == "backward-step":
+                hf[:, _bstep_mask(hf_shape), :2] = 0.0
         hf_all.append(hf)
         lf_all.append(lf)
     return np.stack(lf_all), np.stack(hf_all)

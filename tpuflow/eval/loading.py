@@ -20,8 +20,13 @@ from tpuflow.train.checkpoint import Checkpointer
 
 def load_eval_bundle(
     cfg: CaseConfig, step: int | None = None
-) -> tuple[TMGlow, dict, NormStats | None]:
-    """Returns (model, variables, norm_stats_or_None)."""
+) -> tuple[TMGlow, dict, NormStats | None, dict]:
+    """Returns (model, variables, norm_stats_or_None, checkpoint_meta).
+
+    ``checkpoint_meta`` is the JSON meta dict saved with the
+    checkpoint ({} for a fresh init) — carries e.g. the fine-tuned
+    per-scale sampling temperature ``learned_tau``
+    (train/finetune.py), resolved by ``resolve_temperature``."""
     model = TMGlow(cfg.model)
     b = 1
     hf = jnp.zeros((b, *cfg.model.hf_shape, cfg.model.channels))
@@ -42,7 +47,7 @@ def load_eval_bundle(
         print(f"no checkpoint under {ckpt_dir}; using fresh init "
               "(eval.allow_untrained=true)")
         variables = model.init(jax.random.PRNGKey(cfg.train.seed), hf, lf, state)
-        return model, variables, None
+        return model, variables, None, {}
 
     # The target must mirror the full saved tree (Orbax restores whole
     # items); the optimizer state is reconstructed abstractly from the
@@ -69,4 +74,35 @@ def load_eval_bundle(
     })
     norm = NormStats.from_dict(state_tree["norm"])
     print(f"loaded checkpoint step {actual_step} from {ckpt_dir}")
-    return model, variables, norm
+    return model, variables, norm, dict(restored.get("meta") or {})
+
+
+def resolve_temperature(cfg: CaseConfig, meta: dict):
+    """Sampling temperature actually deployed for a checkpoint.
+
+    Priority: explicit ``eval.temperature_scales`` override (comma
+    list, scale 0 = finest split) > the checkpoint's fine-tuned
+    ``learned_tau`` (train/finetune.py) > the scalar
+    ``eval.temperature``. Returns a float or an (L,) jnp vector
+    (models/glow.py reverse accepts either).
+    """
+    import jax.numpy as jnp
+
+    L = cfg.model.n_scales
+    if cfg.eval.temperature_scales:
+        vals = [float(v) for v in cfg.eval.temperature_scales.split(",")]
+        if len(vals) != L:
+            raise ValueError(
+                f"eval.temperature_scales needs {L} comma-separated "
+                f"values (one per scale), got {cfg.eval.temperature_scales!r}"
+            )
+        return jnp.asarray(vals, jnp.float32)
+    learned = meta.get("learned_tau")
+    if learned is not None:
+        if len(learned) != L:
+            raise ValueError(
+                f"checkpoint learned_tau has {len(learned)} entries but "
+                f"the model has {L} scales — config/checkpoint mismatch"
+            )
+        return jnp.asarray(learned, jnp.float32)
+    return cfg.eval.temperature

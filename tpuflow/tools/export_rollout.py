@@ -59,7 +59,7 @@ def build_exported(cfg, model, variables, ds, platforms=("tpu", "cpu")):
     """
     rollout = make_ensemble_rollout(
         model, cfg.eval.n_samples, cfg.eval.temperature, collect="stats"
-    )
+    )  # tau is a runtime argument below; the closure default is unused
     # Denormalization constants as closed-over arrays: the artifact
     # returns PHYSICAL units (stats.py contract) with no tpuflow code
     # on the serving side.
@@ -80,7 +80,11 @@ def build_exported(cfg, model, variables, ds, platforms=("tpu", "cpu")):
         (t, *cfg.model.lf_shape, cfg.model.channels), jnp.float32
     )
     seed_spec = jax.ShapeDtypeStruct((), jnp.uint32)
-    tau_spec = jax.ShapeDtypeStruct((), jnp.float32)
+    # PER-SCALE tau vector (models/glow.py reverse): a uniform vector
+    # reproduces the scalar behavior, and fine-tuned checkpoints deploy
+    # their learned_tau through the same input (serve.py broadcasts
+    # scalar requests).
+    tau_spec = jax.ShapeDtypeStruct((cfg.model.n_scales,), jnp.float32)
     return jax_export.export(jax.jit(serve), platforms=list(platforms))(
         lf_spec, seed_spec, tau_spec
     )
@@ -102,9 +106,17 @@ def main(argv=None) -> pathlib.Path:
             platforms = tuple(a.split("=", 1)[1].split(","))
             argv.remove(a)
     cfg = parse_args(argv)
-    model, variables, norm = load_eval_bundle(cfg)
+    model, variables, norm, ckpt_meta = load_eval_bundle(cfg)
     ds = load_dataset(cfg.data, cfg.model, "test", norm=norm)
 
+    from tpuflow.eval.loading import resolve_temperature
+
+    resolved = resolve_temperature(cfg, ckpt_meta)
+    default_temperature = (
+        [float(resolved)] * cfg.model.n_scales
+        if np.ndim(resolved) == 0
+        else [float(t) for t in np.asarray(resolved)]
+    )
     exp = build_exported(cfg, model, variables, ds, platforms)
     out = (
         pathlib.Path(out_override)
@@ -122,7 +134,8 @@ def main(argv=None) -> pathlib.Path:
         "case": cfg.name,
         "rollout_steps": cfg.eval.rollout_steps,
         "n_samples": cfg.eval.n_samples,
-        "default_temperature": cfg.eval.temperature,
+        "default_temperature": default_temperature,
+        "n_scales": cfg.model.n_scales,
         "lf_input_shape": [
             cfg.eval.rollout_steps,
             *cfg.model.lf_shape,

@@ -73,7 +73,7 @@ def run_probe(cfg, n_members: int = 8, steps: int = 32) -> list[dict]:
     from tpuflow.eval.loading import load_eval_bundle
     from tpuflow.eval.rollout import make_ensemble_rollout
 
-    model, variables, norm = load_eval_bundle(cfg)
+    model, variables, norm, ckpt_meta = load_eval_bundle(cfg)
     ds = load_dataset(cfg.data, cfg.model, "test", norm=norm)
     t_cal = min(steps, ds.n_steps)
     L = cfg.model.n_scales
@@ -155,3 +155,8 @@ def main(argv=None) -> list[dict]:
 
 if __name__ == "__main__":
     main()
+
+
+from tpuflow.cli import as_console_script  # noqa: E402
+
+cli = as_console_script(main)

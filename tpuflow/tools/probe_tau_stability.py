@@ -42,7 +42,7 @@ def probe(cfg, taus, z_clip: float, seeds: int) -> list[dict]:
     cfg = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, z_clip=z_clip)
     )
-    model, variables, norm = load_eval_bundle(cfg)
+    model, variables, norm, ckpt_meta = load_eval_bundle(cfg)
     ds = load_dataset(cfg.data, cfg.model, "test", norm=norm)
     T = min(cfg.eval.rollout_steps, ds.n_steps)
     rollout = jax.jit(

@@ -99,7 +99,7 @@ class RolloutServer:
         tau = (
             self.meta["default_temperature"]
             if temperature is None
-            else float(temperature)
+            else temperature
         )
         # Wrap, don't reject: np.uint32(-1) raises OverflowError on
         # NumPy 2.x, long after the model loaded; any int is a seed.
@@ -111,8 +111,19 @@ class RolloutServer:
                 "exporter picks the fitted factors up from "
                 "eval_metrics.json)"
             )
+        if "n_scales" in self.meta:
+            # Per-scale artifact contract (post-r4 exports): broadcast
+            # scalar requests to the (n_scales,) tau vector.
+            tau_v = np.asarray(tau, np.float32).reshape(-1)
+            if tau_v.size == 1:
+                tau_v = np.full(
+                    (int(self.meta["n_scales"]),), tau_v[0], np.float32
+                )
+            tau_arg = tau_v
+        else:  # pre-r4 scalar-tau artifact
+            tau_arg = np.float32(float(np.asarray(tau).reshape(-1)[0]))
         with self._lock:
-            out = self.fn.call(lf, np.uint32(seed), np.float32(tau))
+            out = self.fn.call(lf, np.uint32(seed), tau_arg)
         out = {k: np.asarray(v) for k, v in out.items()}
         if calibrated:
             out["var"] = out["var"] * np.float32(self.meta["spread_scale"]) ** 2

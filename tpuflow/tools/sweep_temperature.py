@@ -47,7 +47,7 @@ def sweep(cfg, temperatures) -> list[dict]:
         total_variance,
     )
 
-    model, variables, norm = load_eval_bundle(cfg)
+    model, variables, norm, ckpt_meta = load_eval_bundle(cfg)
     ds = load_dataset(cfg.data, cfg.model, "test", norm=norm)
     T = min(cfg.eval.rollout_steps, ds.n_steps)
     rollout = jax.jit(

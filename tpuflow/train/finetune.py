@@ -1,0 +1,234 @@
+"""Sample-path fine-tuning: dispersion + spectral shape in the loop.
+
+VERDICT r3 items 1-2: the converged NLL-trained models (a) park their
+sampling variance in the coarsest (base-prior) latent, which the
+reverse stack scatters into broadband high-wavenumber noise (the
+cylinder spectrum loss — measured by tools/probe_spectrum.py), and
+(b) are ~2x underdispersed raw, needing post-hoc spread inflation.
+Both are SAMPLE-PATH properties the NLL objective never sees: the
+forward (teacher-forced) direction scores density, not the statistics
+of generated ensembles.
+
+This module fine-tunes a converged checkpoint on a composite
+objective evaluated on actual generative draws every window:
+
+    loss = mean bpd                          (NLL anchor — keeps density)
+         + lambda_crps * fair ensemble CRPS  (dispersion in the loop)
+         + lambda_spec * log-spectrum MSE    (member fluctuation spectra
+                                              match the HF reference's)
+
+plus optionally a LEARNED per-scale sampling temperature (log_tau,
+optimized jointly with the parameters) so the model can reallocate
+ensemble variance across scales instead of riding a single global tau.
+The fitted tau deploys through checkpoint meta ``learned_tau`` (see
+eval/loading.resolve_temperature).
+
+The sampling branch shares the teacher's conditioning exactly (the
+ConvLSTM state never consumes hf or samples — models/tmglow.py
+``nll_and_sample_step``), so members cost one extra ``glow.reverse``
+with the member axis folded into the batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpuflow.eval.stats import energy_spectrum, ensemble_crps
+from tpuflow.models.tmglow import TMGlow
+
+# Hard ceiling for the learned temperature: tau >= ~1.15 puts the BULK
+# of the latent distribution outside the coupling nets' domain and
+# rollouts diverge regardless of clipping (docs/PAPER_PARITY.md
+# "Sampling stability"); the optimizer must not be able to walk there.
+_TAU_MAX = 1.1
+
+
+def spectral_log_mse(
+    members: jnp.ndarray, hf: jnp.ndarray, eps: float = 1e-14
+) -> jnp.ndarray:
+    """Mean squared log radial-spectrum mismatch, per trajectory.
+
+    Args:
+      members: (W, B, M, H, Wd, C) sampled member fields (normalized).
+      hf: (B, W, H, Wd, C) teacher fields (normalized).
+
+    Velocity channels only; fluctuations remove the (window x member)
+    mean per trajectory. Index-space bins (both sides share the grid,
+    so physical binning would only rescale the axis); the Hann taper
+    matches the eval metric's non-periodic-domain treatment.
+    """
+    w, b, m = members.shape[:3]
+    mem = jnp.moveaxis(members, 1, 0)  # (B, W, M, ...)
+    mem = mem.reshape(b, w * m, *members.shape[3:])[..., :2]
+    mem_fluct = mem - mem.mean(axis=1, keepdims=True)
+    ref = hf[..., :2]
+    ref_fluct = ref - ref.mean(axis=1, keepdims=True)
+
+    def spec(f):
+        return energy_spectrum(f, None, taper=True)[1]
+
+    e_m = jax.vmap(spec)(mem_fluct)  # (B, nbins)
+    e_r = jax.vmap(spec)(ref_fluct)
+    d = jnp.log(e_m[:, 1:] + eps) - jnp.log(e_r[:, 1:] + eps)
+    return jnp.mean(d * d)
+
+
+def clipped_tau(log_tau: jax.Array) -> jax.Array:
+    """exp(log_tau) bounded to (0, _TAU_MAX] (stability ceiling)."""
+    return jnp.minimum(jnp.exp(log_tau), _TAU_MAX)
+
+
+def make_finetune_loss(
+    model: TMGlow,
+    n_members: int,
+    remat: bool = False,
+) -> Callable:
+    """Build loss((params, log_tau), buffers, lf_win, hf_win, state,
+    rng, lambda_crps, lambda_spec) -> (total, aux dict). Windows are
+    batch-major (B, W, ...). The lambda weights are RUNTIME (traced)
+    scalars so a weight sweep reuses one compilation."""
+
+    def step(params, buffers, state, rng_t, lf_t, hf_t, tau):
+        bpd, members, state = model.apply(
+            {"params": params, "buffers": buffers},
+            hf_t, lf_t, state, rng_t, tau, n_members,
+            method=TMGlow.nll_and_sample_step,
+        )
+        return state, (jnp.mean(bpd), members)
+
+    if remat:
+        step = jax.checkpoint(step)
+
+    def loss_fn(opt_params, buffers, lf_win, hf_win, state, rng,
+                lambda_crps, lambda_spec):
+        params, log_tau = opt_params
+        tau = clipped_tau(log_tau)
+        lf_tm = jnp.moveaxis(lf_win, 1, 0)  # (W, B, ...)
+        hf_tm = jnp.moveaxis(hf_win, 1, 0)
+        rngs = jax.random.split(rng, lf_tm.shape[0])
+
+        def body(carry, xt):
+            rng_t, lf_t, hf_t = xt
+            new_state, out = step(
+                params, buffers, carry, rng_t, lf_t, hf_t, tau
+            )
+            return new_state, out
+
+        state, (bpds, members) = jax.lax.scan(
+            body, state, (rngs, lf_tm, hf_tm)
+        )
+        # members: (W, B, M, H, Wd, C); normalized space throughout.
+        bpd = jnp.mean(bpds)
+        crps = jnp.mean(
+            ensemble_crps(members, jnp.moveaxis(hf_win, 1, 0), axis=2)
+        )
+        spec = spectral_log_mse(members, hf_win)
+        total = bpd + lambda_crps * crps + lambda_spec * spec
+        aux = {"bpd": bpd, "crps": crps, "spec": spec, "state": state}
+        return total, aux
+
+    return loss_fn
+
+
+def make_finetune_trajectory_step(
+    model: TMGlow,
+    optimizer: optax.GradientTransformation,
+    window: int,
+    n_members: int,
+    remat: bool = False,
+) -> Callable:
+    """Whole-trajectory fine-tune step (mirrors
+    train/step.make_trajectory_train_step: outer scan over BPTT
+    windows inside one jit, state VALUE carried, no gradient across
+    window boundaries):
+
+    ((params, log_tau), buffers, opt_state, lf_traj, hf_traj, rng,
+     lambda_crps, lambda_spec)
+      -> ((params, log_tau), opt_state, metrics)
+
+    The lambda weights are runtime scalars (one compile per
+    model/shape, swept freely).
+    """
+    loss_fn = make_finetune_loss(model, n_members, remat=remat)
+
+    def trajectory_step(opt_params, buffers, opt_state, lf_traj, hf_traj,
+                        rng, lambda_crps, lambda_spec):
+        b, t = lf_traj.shape[:2]
+        n_win = t // window
+        if n_win == 0:
+            raise ValueError(
+                f"window={window} exceeds trajectory length {t}"
+            )
+
+        def to_windows(x):
+            x = x[:, : n_win * window]
+            x = x.reshape(b, n_win, window, *x.shape[2:])
+            return jnp.moveaxis(x, 1, 0)
+
+        lf_w, hf_w = to_windows(lf_traj), to_windows(hf_traj)
+        from tpuflow.models.tmglow import init_lstm_state
+
+        state0 = init_lstm_state(model.cfg, (b,))
+        rngs = jax.random.split(rng, n_win)
+
+        def window_body(carry, xs):
+            opt_params, opt_state, state = carry
+            rng_w, lf_win, hf_win = xs
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(opt_params, buffers, lf_win, hf_win, state, rng_w,
+              lambda_crps, lambda_spec)
+            updates, opt_state = optimizer.update(
+                grads, opt_state, opt_params
+            )
+            opt_params = optax.apply_updates(opt_params, updates)
+            return (opt_params, opt_state, aux["state"]), (
+                loss, aux["bpd"], aux["crps"], aux["spec"],
+            )
+
+        (opt_params, opt_state, _), (losses, bpds, crpss, specs) = (
+            jax.lax.scan(
+                window_body, (opt_params, opt_state, state0),
+                (rngs, lf_w, hf_w),
+            )
+        )
+        metrics = {
+            "loss": jnp.mean(losses),
+            "bpd": jnp.mean(bpds),
+            "crps": jnp.mean(crpss),
+            "spec": jnp.mean(specs),
+            "tau": clipped_tau(opt_params[1]),
+        }
+        return opt_params, opt_state, metrics
+
+    return trajectory_step
+
+
+def make_finetune_optimizer(
+    lr: float, grad_clip: float, learn_tau: bool, tau_lr_scale: float = 10.0
+) -> optax.GradientTransformation:
+    """Adam over the (params, log_tau) tuple. log_tau gets lr *
+    tau_lr_scale (a 3-vector fit against field-sized gradients needs a
+    faster clock than the net weights); with ``learn_tau=False`` its
+    updates are zeroed so tau stays at initialization.
+    """
+    def tau_mask(factor: float):
+        def mask(tree):
+            params, _log_tau = tree
+            return (jax.tree_util.tree_map(lambda _: False, params), True)
+
+        return optax.masked(optax.scale(factor), mask)
+
+    chain = [
+        optax.clip_by_global_norm(grad_clip),
+        optax.adam(lr),
+    ]
+    if learn_tau:
+        chain.append(tau_mask(tau_lr_scale))
+    else:
+        chain.append(tau_mask(0.0))
+    return optax.chain(*chain)
