@@ -729,3 +729,60 @@ def test_spread_field_recovers_spatial_structure():
     z_deg[:, 0, 0, 0] = 1e6
     s_deg = np.asarray(fit_spread_field_from_z(jnp.asarray(z_deg)))
     assert s_deg[0, 0, 0] == 6.0  # default clip hi
+
+
+def test_lf_conditioned_qmap_transfers_across_scales():
+    """The LF-conditioned self-calibrating map (VERDICT r3 item 6)
+    transfers a shape correction across trajectories whose marginals
+    differ by a per-trajectory scale — exactly where a global pooled
+    quantile map fails. Construction: reference fluctuations are
+    Gaussian with per-trajectory scale s_i; the 'ensemble' draws a
+    LAPLACE marginal (wrong shape) at half the scale (wrong
+    dispersion); the LF std is proportional to the true scale (the
+    deploy-available covariate)."""
+    import numpy as onp
+
+    from tpuflow.eval.calibrate import (
+        apply_lf_conditioned_qmap,
+        apply_quantile_map,
+        fit_lf_conditioned_qmap,
+        fit_quantile_map,
+    )
+    from tpuflow.eval.stats import wasserstein1
+
+    rng = onp.random.default_rng(0)
+    scales = {"fit_a": 1.0, "fit_b": 3.0, "hold": 2.0}
+    n = 20_000
+    pred, ref, lf_std = {}, {}, {}
+    for k, s in scales.items():
+        pred[k] = rng.laplace(0.0, 0.5 * s / onp.sqrt(2.0), n)
+        ref[k] = rng.normal(0.0, s, n)
+        lf_std[k] = 0.7 * s  # LF sees a proportional fluctuation scale
+
+    xq, yq, alpha = fit_lf_conditioned_qmap(
+        [pred["fit_a"], pred["fit_b"]],
+        [ref["fit_a"], ref["fit_b"]],
+        [lf_std["fit_a"], lf_std["fit_b"]],
+    )
+    # Global pooled map fit on the same data (the r3 failure mode).
+    gxq, gyq = fit_quantile_map(
+        jnp.asarray(onp.concatenate([pred["fit_a"], pred["fit_b"]])),
+        jnp.asarray(onp.concatenate([ref["fit_a"], ref["fit_b"]])),
+    )
+
+    h_pred = jnp.asarray(pred["hold"])
+    h_ref = jnp.asarray(ref["hold"])
+    w1_raw = float(wasserstein1(h_pred, h_ref))
+    w1_global = float(wasserstein1(apply_quantile_map(h_pred, gxq, gyq), h_ref))
+    w1_lf = float(
+        wasserstein1(
+            apply_lf_conditioned_qmap(
+                h_pred, float(jnp.std(h_pred)), lf_std["hold"], xq, yq, alpha
+            ),
+            h_ref,
+        )
+    )
+    # The LF-conditioned map fixes most of the raw discrepancy and
+    # beats the global map on the held-out scale.
+    assert w1_lf < 0.25 * w1_raw, (w1_lf, w1_raw)
+    assert w1_lf < 0.6 * w1_global, (w1_lf, w1_global)

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def ensemble_zscores(
@@ -170,6 +171,72 @@ def apply_quantile_map(
     out = jnp.where(v < xq[0], yq[0] + (v - xq[0]) * lo_slope, out)
     out = jnp.where(v > xq[-1], yq[-1] + (v - xq[-1]) * hi_slope, out)
     return out
+
+
+def fit_lf_conditioned_qmap(
+    pred_parts: list,
+    ref_parts: list,
+    lf_stds: list,
+    n_quantiles: int = 65,
+) -> tuple[jnp.ndarray, jnp.ndarray, float]:
+    """LF-conditioned (per-trajectory self-calibrating) quantile map.
+
+    The v' fluctuation marginal is NON-STATIONARY across trajectories
+    (each trajectory has its own flow parameters), so a global shape
+    map fit on disjoint trajectories does not transfer — the r3
+    measured failure (pdf_w1_v skill 0.47 best-of-five; VERDICT r3
+    item 6). This factorizes the calibration into pieces that DO
+    transfer, all deploy-available:
+
+      shape: ONE pooled quantile map between per-trajectory
+        SELF-STANDARDIZED marginals (each trajectory's fluctuations
+        divided by its own std) — removing the per-trajectory scale
+        that breaks the global map;
+      scale: the target std regressed on the trajectory's OWN
+        (bicubic-upsampled) LF fluctuation std,
+        sigma_ref_j ~ alpha * sigma_LF_j, alpha fit on the fit split.
+
+    Deploy on trajectory j (apply_lf_conditioned_qmap): standardize by
+    the ensemble's own std, map the shape, rescale by
+    alpha * sigma_LF_j. Nothing uses reference data at deploy time.
+
+    Args:
+      pred_parts: per-fit-trajectory member-fluctuation sample arrays.
+      ref_parts: per-fit-trajectory reference-fluctuation samples.
+      lf_stds: per-fit-trajectory LF-upsampled fluctuation stds.
+
+    Returns (xq, yq, alpha).
+    """
+    pred_std = jnp.concatenate([
+        jnp.asarray(p).ravel() / (float(jnp.std(jnp.asarray(p))) + 1e-12)
+        for p in pred_parts
+    ])
+    ref_std = jnp.concatenate([
+        jnp.asarray(r).ravel() / (float(jnp.std(jnp.asarray(r))) + 1e-12)
+        for r in ref_parts
+    ])
+    xq, yq = fit_quantile_map(pred_std, ref_std, n_quantiles)
+    ratios = [
+        float(jnp.std(jnp.asarray(r))) / (s + 1e-12)
+        for r, s in zip(ref_parts, lf_stds)
+    ]
+    alpha = float(np.mean(ratios))
+    return xq, yq, alpha
+
+
+def apply_lf_conditioned_qmap(
+    vals: jnp.ndarray,
+    sigma_member: float,
+    sigma_lf: float,
+    xq: jnp.ndarray,
+    yq: jnp.ndarray,
+    alpha: float,
+) -> jnp.ndarray:
+    """Apply the LF-conditioned map on a new trajectory using only
+    deploy-available statistics (the ensemble's own fluctuation std
+    and the trajectory's LF fluctuation std)."""
+    z = vals / (sigma_member + 1e-12)
+    return alpha * sigma_lf * apply_quantile_map(z, xq, yq)
 
 
 def fit_quantile_map_stratified(

@@ -32,8 +32,10 @@ import numpy as np
 
 from tpuflow.eval.baseline import lf_upsample, skill
 from tpuflow.eval.calibrate import (
+    apply_lf_conditioned_qmap,
     apply_quantile_map,
     apply_quantile_map_stratified,
+    fit_lf_conditioned_qmap,
     ensemble_zscores,
     fit_interval_scales_from_z,
     fit_quantile_map,
@@ -317,6 +319,7 @@ def fit_calibration_artifacts(
     r2_parts, v_parts = [], []
     qmap_pred, qmap_ref = {0: [], 1: []}, {0: [], 1: []}
     qmap_pred_x, qmap_ref_x = {0: [], 1: []}, {0: [], 1: []}
+    lf_stds = {0: [], 1: []}
     for i in fit_idx:
         m_i, hf_i = (members0, hf0) if i == 0 else members_fn(i)
         # Keep the FIELD structure (T, H, W, C): the scalar and
@@ -345,7 +348,19 @@ def fit_calibration_artifacts(
         fl_r = ref_q_i[..., :2] - ref_q_i[..., :2].mean(
             0, keepdims=True
         )
+        # LF fluctuation stds for the LF-conditioned self-calibration
+        # (calibrate.fit_lf_conditioned_qmap): deploy-available scale
+        # covariate per trajectory.
+        t_cal_i = fl_m.shape[1]
+        lf_up_fit = lf_upsample(
+            jnp.asarray(ds.denorm_lf(ds.lf[i, :t_cal_i])),
+            cfg.model.hf_shape,
+        )
+        lf_fl_fit = lf_up_fit[..., :2] - lf_up_fit[..., :2].mean(
+            0, keepdims=True
+        )
         for c in (0, 1):
+            lf_stds[c].append(float(jnp.std(lf_fl_fit[..., c])))
             qmap_pred[c].append(
                 np.asarray(fl_m[..., c]).ravel()[::8]
             )
@@ -410,6 +425,17 @@ def fit_calibration_artifacts(
         )
         for c in (0, 1)
     }
+    # LF-conditioned self-calibrating shape maps (VERDICT r3 item 6):
+    # one pooled map over per-trajectory SELF-STANDARDIZED marginals +
+    # a target scale regressed on the trajectory's own LF fluctuation
+    # std — transfers across the non-stationary v' marginal where the
+    # global maps do not, and deploys with no reference data.
+    qmaps_lf = {
+        c: fit_lf_conditioned_qmap(
+            qmap_pred[c], qmap_ref[c], lf_stds[c]
+        )
+        for c in (0, 1)
+    }
     np.savez(
         out_dir / "quantile_map.npz",
         **{
@@ -422,6 +448,15 @@ def fit_calibration_artifacts(
             for c, (xq, yq) in qmaps_x.items()
             for ax, arr in (("x", xq), ("y", yq))
         },
+        **{
+            f"l{ax}{c}": np.asarray(arr)
+            for c, (xq, yq, _a) in qmaps_lf.items()
+            for ax, arr in (("x", xq), ("y", yq))
+        },
+        **{
+            f"lalpha{c}": np.asarray(a)
+            for c, (_x, _y, a) in qmaps_lf.items()
+        },
     )
     return {
         "scale": scale,
@@ -430,6 +465,7 @@ def fit_calibration_artifacts(
         "var_factor": var_factor,
         "qmaps": qmaps,
         "qmaps_x": qmaps_x,
+        "qmaps_lf": qmaps_lf,
     }
 
 
@@ -455,9 +491,9 @@ def score_holdout(
             "tke_raw", "tke_cal", "tke_fld", "tke_base",
             "rey_raw", "rey_cal", "rey_fld", "rey_base",
             "w1u_raw", "w1u_cal", "w1u_fld", "w1u_qmap", "w1u_qmapx",
-            "w1u_base",
+            "w1u_qmaplf", "w1u_base",
             "w1v_raw", "w1v_cal", "w1v_fld", "w1v_qmap", "w1v_qmapx",
-            "w1v_base",
+            "w1v_qmaplf", "w1v_base",
         )
     }
     for i in report_idx:
@@ -559,6 +595,18 @@ def score_holdout(
             sm[f"w1{cname}_qmapx"] += (
                 float(wasserstein1(fl_qx, ref_fl_i[..., c])) / ref_std_i
             )
+            # LF-conditioned self-calibration: uses ONLY the holdout
+            # trajectory's own deploy-available statistics (its member
+            # fluctuation std and its LF fluctuation std).
+            fl_lf = apply_lf_conditioned_qmap(
+                raw_fl[..., c],
+                float(jnp.std(raw_fl[..., c])),
+                float(jnp.std(base_fl_i[..., c])),
+                *fits["qmaps_lf"][c],
+            )
+            sm[f"w1{cname}_qmaplf"] += (
+                float(wasserstein1(fl_lf, ref_fl_i[..., c])) / ref_std_i
+            )
             sm[f"w1{cname}_base"] += (
                 float(wasserstein1(base_fl_i[..., c], ref_fl_i[..., c]))
                 / ref_std_i
@@ -627,6 +675,17 @@ def calibration_metric_rows(fits: dict, scores: dict, hold_idx) -> dict:
         pdf_w1_v_holdout_qmap=sm["w1v_qmap"],
         pdf_w1_v_skill_holdout_qmap=skill(
             sm["w1v_qmap"], sm["w1v_base"]
+        ),
+        # LF-conditioned self-calibrating maps (per-trajectory
+        # standardization + LF-regressed scale; deployable via the
+        # quantile_map.npz l*/lalpha* arrays).
+        pdf_w1_u_holdout_qmaplf=sm["w1u_qmaplf"],
+        pdf_w1_u_skill_holdout_qmaplf=skill(
+            sm["w1u_qmaplf"], sm["w1u_base"]
+        ),
+        pdf_w1_v_holdout_qmaplf=sm["w1v_qmaplf"],
+        pdf_w1_v_skill_holdout_qmaplf=skill(
+            sm["w1v_qmaplf"], sm["w1v_base"]
         ),
         # Streamwise-stratified quantile maps (one per x-column).
         pdf_w1_u_holdout_qmapx=sm["w1u_qmapx"],
