@@ -231,6 +231,66 @@ def build_report(out_dir: pathlib.Path, case: str) -> str:
             "recalibrated.",
         ]
 
+    # Deployment: name the ONE recommended calibration artifact chain
+    # per metric family, chosen from the measured holdout numbers
+    # (VERDICT r3 item 7 — previously spread across docstrings).
+    if "tke_rel_l2_holdout_calibrated" in m:
+        lines += ["", "## Deployment (recommended calibration chain)", ""]
+        crps_opts = {
+            "raw ensemble (no calibration)": m.get("crps_holdout_raw"),
+            "scalar spread (`eval.spread_scale`"
+            f"={_fmt(m.get('spread_scale', float('nan')))})":
+                m.get("crps_holdout_recalibrated"),
+            "per-location field (`eval.spread_field=spread_field.npy`)":
+                m.get("crps_holdout_fieldcal"),
+        }
+        crps_opts = {k: v for k, v in crps_opts.items() if v is not None}
+        if crps_opts:
+            best = min(crps_opts, key=crps_opts.get)
+            lines.append(
+                f"- **Predictive uncertainty (CRPS/intervals):** {best} "
+                f"(holdout CRPS {_fmt(crps_opts[best])}); for interval "
+                "construction at nominal levels use the per-level "
+                "factors in `interval_scales`."
+            )
+        tke_opts = {
+            "raw ensemble variance": m.get("tke_skill_holdout_raw"),
+            "variance-scale calibration "
+            f"(variance_scale_fit={_fmt(m.get('variance_scale_fit', float('nan')))})":
+                m.get("tke_skill_holdout_calibrated"),
+            "per-location field calibration":
+                m.get("tke_skill_holdout_fieldcal"),
+        }
+        tke_opts = {k: v for k, v in tke_opts.items() if v is not None}
+        if tke_opts:
+            best = max(tke_opts, key=tke_opts.get)
+            lines.append(
+                f"- **Variance statistics (TKE/Reynolds):** {best} "
+                f"(holdout TKE skill {_fmt(tke_opts[best])} vs bicubic)."
+            )
+        for c in ("u", "v"):
+            raw_v = m.get(f"pdf_w1_{c}_holdout_raw")
+            base_v = m.get(f"baseline_pdf_w1_{c}_holdout")
+            shape_opts = {
+                "raw": (base_v / max(raw_v, 1e-12))
+                if raw_v is not None and base_v is not None else None,
+                "variance-scale": m.get(f"pdf_w1_{c}_skill_holdout_calibrated"),
+                "pooled quantile map (`quantile_map.npz` x/y)":
+                    m.get(f"pdf_w1_{c}_skill_holdout_qmap"),
+                "streamwise-stratified map (`quantile_map.npz` sx/sy)":
+                    m.get(f"pdf_w1_{c}_skill_holdout_qmapx"),
+                "LF-conditioned self-calibrating map "
+                "(`quantile_map.npz` lx/ly/lalpha)":
+                    m.get(f"pdf_w1_{c}_skill_holdout_qmaplf"),
+            }
+            shape_opts = {k: v for k, v in shape_opts.items() if v}
+            if shape_opts:
+                best = max(shape_opts, key=shape_opts.get)
+                lines.append(
+                    f"- **{c}' fluctuation marginal:** {best} (holdout "
+                    f"skill {_fmt(shape_opts[best])})."
+                )
+
     roll_path = out_dir / "rollout_metrics.json"
     if roll_path.exists():
         r = json.loads(roll_path.read_text())
