@@ -29,7 +29,8 @@ from tpuflow.train.finetune import (
     make_finetune_trajectory_step,
 )
 
-cfg = parse_args([case, f"train.checkpoint_dir={src}"])
+extra = [a for a in sys.argv[3:] if "=" in a and not a.startswith("epochs=")]
+cfg = parse_args([case, f"train.checkpoint_dir={src}"] + extra)
 ft = cfg.finetune
 model, variables, norm, _meta = load_eval_bundle(cfg)
 params0, buffers = variables["params"], variables["buffers"]
@@ -56,7 +57,8 @@ for lam_c, lam_s in settings:
     hist = []
     for epoch in range(EPOCHS):
         order = order_root.permutation(ds.n_traj)
-        ep = {"bpd": [], "crps": [], "spec": []}
+        ep = {"bpd": [], "crps": [], "spec": [], "grad_norm": [],
+              "skipped_windows": []}
         for bi in range(n_batches):
             idx = order[bi * b: (bi + 1) * b]
             if len(idx) < b:
@@ -73,5 +75,7 @@ for lam_c, lam_s in settings:
         print(f"  lam=({lam_c},{lam_s}) ep{epoch}: "
               f"bpd={hist[-1]['bpd']:.3f} crps={hist[-1]['crps']:.4f} "
               f"spec={hist[-1]['spec']:.3f} tau={tau} "
+              f"gnorm={hist[-1]['grad_norm']:.2f} "
+              f"skip={hist[-1]['skipped_windows']:.0f} "
               f"({time.monotonic()-t0:.0f}s)", flush=True)
 print("# sweep done", flush=True)

@@ -90,7 +90,7 @@ def main(argv=None) -> dict:
     ckpt = Checkpointer(out_dir / cfg.name)
     log_path = out_dir / f"{cfg.name}_finetune_log.csv"
     out_dir.mkdir(parents=True, exist_ok=True)
-    log_rows = ["epoch,loss,bpd,crps,spec,tau,seconds"]
+    log_rows = ["epoch,loss,bpd,crps,spec,tau,seconds,grad_norm,skipped_windows"]
 
     rng_root = np.random.default_rng(ft.seed)
     n_batches = math.ceil(ds.n_traj / b)
@@ -99,7 +99,8 @@ def main(argv=None) -> dict:
     for epoch in range(ft.epochs):
         t0 = time.monotonic()
         order = rng_root.permutation(ds.n_traj)
-        ep = {"loss": [], "bpd": [], "crps": [], "spec": []}
+        ep = {"loss": [], "bpd": [], "crps": [], "spec": [],
+              "grad_norm": [], "skipped_windows": []}
         for bi in range(n_batches):
             idx = order[bi * b: (bi + 1) * b]
             if len(idx) < b:  # static shapes: pad by wrapping
@@ -117,7 +118,8 @@ def main(argv=None) -> dict:
         row = (
             f"{epoch},{np.mean(ep['loss']):.5f},{np.mean(ep['bpd']):.5f},"
             f"{np.mean(ep['crps']):.5f},{np.mean(ep['spec']):.5f},"
-            f"\"{tau_now}\",{time.monotonic() - t0:.1f}"
+            f"\"{tau_now}\",{time.monotonic() - t0:.1f},"
+            f"{np.mean(ep['grad_norm']):.3f},{np.sum(ep['skipped_windows']):.0f}"
         )
         log_rows.append(row)
         log_path.write_text("\n".join(log_rows) + "\n")

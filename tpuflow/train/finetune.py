@@ -182,25 +182,56 @@ def make_finetune_trajectory_step(
                 loss_fn, has_aux=True
             )(opt_params, buffers, lf_win, hf_win, state, rng_w,
               lambda_crps, lambda_spec)
-            updates, opt_state = optimizer.update(
-                grads, opt_state, opt_params
+            # Finite-update guard: the sampling branch can overflow a
+            # window (reverse-path amplification once params move off
+            # the converged manifold); one NaN gradient would poison
+            # the whole parameter tree permanently. Skip the update
+            # (params AND opt state unchanged) instead — the next
+            # window's draw re-rolls the dice.
+            gnorm = optax.global_norm(grads)
+            ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+            updates, new_opt_state = optimizer.update(
+                jax.tree_util.tree_map(
+                    lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
+                ),
+                opt_state, opt_params,
             )
-            opt_params = optax.apply_updates(opt_params, updates)
+            new_params = optax.apply_updates(opt_params, updates)
+            opt_params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old),
+                new_params, opt_params,
+            )
+            opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old)
+                if isinstance(new, jax.Array) else new,
+                new_opt_state, opt_state,
+            )
             return (opt_params, opt_state, aux["state"]), (
-                loss, aux["bpd"], aux["crps"], aux["spec"],
+                loss, aux["bpd"], aux["crps"], aux["spec"], gnorm,
+                1.0 - ok.astype(jnp.float32),
             )
 
-        (opt_params, opt_state, _), (losses, bpds, crpss, specs) = (
-            jax.lax.scan(
-                window_body, (opt_params, opt_state, state0),
-                (rngs, lf_w, hf_w),
-            )
+        (opt_params, opt_state, _), (
+            losses, bpds, crpss, specs, gnorms, skipped
+        ) = jax.lax.scan(
+            window_body, (opt_params, opt_state, state0),
+            (rngs, lf_w, hf_w),
         )
+        # Means over FINITE windows only (a skipped window's NaN loss
+        # must not poison the epoch telemetry).
+        fin = 1.0 - skipped
+        n_fin = jnp.maximum(fin.sum(), 1.0)
+
+        def fmean(x):
+            return jnp.sum(jnp.where(jnp.isfinite(x), x, 0.0) * fin) / n_fin
+
         metrics = {
-            "loss": jnp.mean(losses),
-            "bpd": jnp.mean(bpds),
-            "crps": jnp.mean(crpss),
-            "spec": jnp.mean(specs),
+            "loss": fmean(losses),
+            "bpd": fmean(bpds),
+            "crps": fmean(crpss),
+            "spec": fmean(specs),
+            "grad_norm": fmean(gnorms),
+            "skipped_windows": skipped.sum(),
             "tau": clipped_tau(opt_params[1]),
         }
         return opt_params, opt_state, metrics
