@@ -108,8 +108,12 @@ def test_finetune_optimizer_freezes_tau_when_disabled():
 
 
 def test_spectral_log_mse_discriminates_noise():
-    """White noise added to a smooth field raises the penalty; members
-    spectrally matched to the reference score near zero."""
+    """SHAPE matching (default): a member ensemble whose fluctuation
+    rides the same low-wavenumber moving structure as the reference
+    scores low; broadband white noise (flat spectrum — hallucinated
+    small scales) scores high REGARDLESS of its level, and the penalty
+    is level-invariant (2x-scaled members score the same). Level
+    matching (normalize=False) additionally sees the amplitude."""
     from tpuflow.train.finetune import spectral_log_mse
 
     key = jax.random.PRNGKey(9)
@@ -117,20 +121,33 @@ def test_spectral_log_mse_discriminates_noise():
     ys, xs = jnp.meshgrid(
         jnp.linspace(0, 1, h), jnp.linspace(0, 1, w), indexing="ij"
     )
-    base = jnp.sin(2 * jnp.pi * xs)[None, None, :, :, None]  # smooth
-    t = jnp.broadcast_to(base, (4, 2, h, w, 3))  # (W, B, H, Wd, C)
+    # Low-k structure that MOVES across the window -> the reference
+    # fluctuation (time-mean removed) is low-k peaked.
+    phases = jnp.linspace(0, 1.5, 4)
+    frames = jnp.stack([
+        jnp.sin(2 * jnp.pi * (xs + p)) for p in phases
+    ])[:, None, :, :, None]  # (W, 1, H, Wd, 1)
+    t = jnp.broadcast_to(frames, (4, 2, h, w, 3))  # (W, B, H, Wd, C)
     hf = jnp.moveaxis(t, 0, 1) + 0.01 * jax.random.normal(
         key, (2, 4, h, w, 3)
     )
     members_clean = (
-        t[:, :, None] + 0.01 * jax.random.normal(key, (4, 2, 3, h, w, 3))
+        t[:, :, None] + 0.02 * jax.random.normal(key, (4, 2, 3, h, w, 3))
     )
     members_noisy = (
-        t[:, :, None] + 0.3 * jax.random.normal(key, (4, 2, 3, h, w, 3))
+        t[:, :, None] + 0.5 * jax.random.normal(key, (4, 2, 3, h, w, 3))
     )
     clean = float(spectral_log_mse(members_clean, hf))
     noisy = float(spectral_log_mse(members_noisy, hf))
     assert noisy > clean * 3, (clean, noisy)
+    # Shape penalty is level-invariant: scaling members 2x changes
+    # nothing (the r4 lesson — level matching collapsed dispersion).
+    scaled = float(spectral_log_mse(2.0 * members_noisy, hf))
+    np.testing.assert_allclose(scaled, noisy, rtol=1e-4)
+    # Level matching sees the amplitude difference.
+    lvl = float(spectral_log_mse(members_noisy, hf, normalize=False))
+    lvl2 = float(spectral_log_mse(2.0 * members_noisy, hf, normalize=False))
+    assert lvl2 > lvl * 1.05, (lvl, lvl2)
 
 
 def test_resolve_temperature_priority():

@@ -48,13 +48,23 @@ _TAU_MAX = 1.1
 
 
 def spectral_log_mse(
-    members: jnp.ndarray, hf: jnp.ndarray, eps: float = 1e-14
+    members: jnp.ndarray, hf: jnp.ndarray, eps: float = 1e-14,
+    normalize: bool = True,
 ) -> jnp.ndarray:
     """Mean squared log radial-spectrum mismatch, per trajectory.
 
     Args:
       members: (W, B, M, H, Wd, C) sampled member fields (normalized).
       hf: (B, W, H, Wd, C) teacher fields (normalized).
+      normalize: match the spectral SHAPE (each spectrum divided by its
+        total energy) instead of the level. Measured necessity (r4
+        cylinder fine-tune, runs/r4_cylinder): the window's HF temporal
+        variance is far below the converged variance (8-step sampling
+        window), so LEVEL matching forces total ensemble dispersion
+        down to the window level — spectrum won (0.200 vs baseline
+        0.250) but coverage collapsed to 0.07@0.50 and TKE skill to
+        0.22. Shape matching moves energy to the right wavenumbers and
+        leaves the dispersion LEVEL to the CRPS term.
 
     Velocity channels only; fluctuations remove the (window x member)
     mean per trajectory. Index-space bins (both sides share the grid,
@@ -71,9 +81,12 @@ def spectral_log_mse(
     def spec(f):
         return energy_spectrum(f, None, taper=True)[1]
 
-    e_m = jax.vmap(spec)(mem_fluct)  # (B, nbins)
-    e_r = jax.vmap(spec)(ref_fluct)
-    d = jnp.log(e_m[:, 1:] + eps) - jnp.log(e_r[:, 1:] + eps)
+    e_m = jax.vmap(spec)(mem_fluct)[:, 1:]  # (B, nbins-1)
+    e_r = jax.vmap(spec)(ref_fluct)[:, 1:]
+    if normalize:
+        e_m = e_m / (e_m.sum(axis=1, keepdims=True) + eps)
+        e_r = e_r / (e_r.sum(axis=1, keepdims=True) + eps)
+    d = jnp.log(e_m + eps) - jnp.log(e_r + eps)
     return jnp.mean(d * d)
 
 
