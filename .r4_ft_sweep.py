@@ -39,6 +39,20 @@ b = min(ft.batch_size, ds.n_traj)
 L = cfg.model.n_scales
 log_tau0 = jnp.log(jnp.full((L,), float(cfg.eval.temperature), jnp.float32))
 opt = make_finetune_optimizer(ft.lr, ft.grad_clip, True)
+from tpuflow.data import generate_case
+from tpuflow.train.finetune import converged_log_spectra
+ref_steps = max(cfg.eval.ref_steps, cfg.data.train_steps)
+_, hf_long = generate_case(
+    cfg.data.case, ds.n_traj, ref_steps, cfg.model.hf_shape,
+    cfg.model.lf_shape, seed=cfg.data.seed,
+    fixture_version=cfg.data.fixture_version,
+)
+hf_long_n = (hf_long - np.asarray(norm.hf_mean)) / np.asarray(norm.hf_std)
+spec_targets = jnp.stack([
+    converged_log_spectra(jnp.asarray(hf_long_n[i]))
+    for i in range(ds.n_traj)
+])
+del hf_long, hf_long_n
 step = jax.jit(
     make_finetune_trajectory_step(
         model, opt, cfg.data.window, ft.n_members, remat=ft.remat,
@@ -66,6 +80,7 @@ for lam_c, lam_s in settings:
             opt_params, opt_state, m = step(
                 opt_params, buffers, opt_state,
                 jnp.asarray(ds.lf[idx]), jnp.asarray(ds.hf[idx]),
+                spec_targets[jnp.asarray(idx)],
                 jax.random.PRNGKey(epoch * 100 + bi), lc, ls,
             )
             for k in ep:

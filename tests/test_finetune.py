@@ -63,12 +63,15 @@ def test_finetune_trajectory_step_updates_params_and_tau():
     opt = make_finetune_optimizer(1e-3, 100.0, learn_tau=True)
     opt_params = (params, log_tau)
     opt_state = opt.init(opt_params)
+    from tpuflow.train.finetune import converged_log_spectra
+
     step = jax.jit(
         make_finetune_trajectory_step(model, opt, window=2, n_members=M)
     )
+    spec_t = jnp.stack([converged_log_spectra(hf[i]) for i in range(B)])
     (p1, lt1), opt_state, metrics = step(
-        opt_params, buffers, opt_state, lf, hf, jax.random.PRNGKey(5),
-        jnp.float32(0.5), jnp.float32(0.05),
+        opt_params, buffers, opt_state, lf, hf, spec_t,
+        jax.random.PRNGKey(5), jnp.float32(0.5), jnp.float32(0.05),
     )
     for k in ("loss", "bpd", "crps", "spec"):
         assert np.isfinite(float(metrics[k])), k
@@ -97,57 +100,56 @@ def test_finetune_optimizer_freezes_tau_when_disabled():
     log_tau = jnp.log(jnp.full((MC.n_scales,), 0.7, jnp.float32))
     opt = make_finetune_optimizer(1e-3, 100.0, learn_tau=False)
     opt_params = (variables["params"], log_tau)
+    from tpuflow.train.finetune import converged_log_spectra
+
     step = jax.jit(
         make_finetune_trajectory_step(model, opt, window=2, n_members=M)
     )
+    spec_t = jnp.stack([converged_log_spectra(hf[i]) for i in range(B)])
     (_, lt1), _, _ = step(
         opt_params, variables["buffers"], opt.init(opt_params), lf, hf,
-        jax.random.PRNGKey(8), jnp.float32(0.5), jnp.float32(0.0),
+        spec_t, jax.random.PRNGKey(8), jnp.float32(0.5), jnp.float32(0.0),
     )
     np.testing.assert_array_equal(np.asarray(lt1), np.asarray(log_tau))
 
 
-def test_spectral_log_mse_discriminates_noise():
-    """SHAPE matching (default): a member ensemble whose fluctuation
-    rides the same low-wavenumber moving structure as the reference
-    scores low; broadband white noise (flat spectrum — hallucinated
-    small scales) scores high REGARDLESS of its level, and the penalty
-    is level-invariant (2x-scaled members score the same). Level
-    matching (normalize=False) additionally sees the amplitude."""
-    from tpuflow.train.finetune import spectral_log_mse
+def test_spectral_target_mse_discriminates():
+    """The converged-target penalty flags BOTH wrong spectral shape
+    (broadband noise on a low-k reference) and wrong dispersion level
+    (under-dispersed members) — the two failure modes the r4 window-
+    relative penalties each missed."""
+    from tpuflow.train.finetune import (
+        converged_log_spectra,
+        spectral_target_mse,
+    )
 
     key = jax.random.PRNGKey(9)
     h, w = 16, 32
     ys, xs = jnp.meshgrid(
         jnp.linspace(0, 1, h), jnp.linspace(0, 1, w), indexing="ij"
     )
-    # Low-k structure that MOVES across the window -> the reference
-    # fluctuation (time-mean removed) is low-k peaked.
-    phases = jnp.linspace(0, 1.5, 4)
-    frames = jnp.stack([
+    # Converged reference: low-k structure moving over many frames.
+    phases = jnp.linspace(0, 6.0, 24)
+    ref = jnp.stack([
         jnp.sin(2 * jnp.pi * (xs + p)) for p in phases
-    ])[:, None, :, :, None]  # (W, 1, H, Wd, 1)
-    t = jnp.broadcast_to(frames, (4, 2, h, w, 3))  # (W, B, H, Wd, C)
-    hf = jnp.moveaxis(t, 0, 1) + 0.01 * jax.random.normal(
-        key, (2, 4, h, w, 3)
-    )
-    members_clean = (
-        t[:, :, None] + 0.02 * jax.random.normal(key, (4, 2, 3, h, w, 3))
-    )
-    members_noisy = (
-        t[:, :, None] + 0.5 * jax.random.normal(key, (4, 2, 3, h, w, 3))
-    )
-    clean = float(spectral_log_mse(members_clean, hf))
-    noisy = float(spectral_log_mse(members_noisy, hf))
-    assert noisy > clean * 3, (clean, noisy)
-    # Shape penalty is level-invariant: scaling members 2x changes
-    # nothing (the r4 lesson — level matching collapsed dispersion).
-    scaled = float(spectral_log_mse(2.0 * members_noisy, hf))
-    np.testing.assert_allclose(scaled, noisy, rtol=1e-4)
-    # Level matching sees the amplitude difference.
-    lvl = float(spectral_log_mse(members_noisy, hf, normalize=False))
-    lvl2 = float(spectral_log_mse(2.0 * members_noisy, hf, normalize=False))
-    assert lvl2 > lvl * 1.05, (lvl, lvl2)
+    ])[:, :, :, None] * jnp.ones((1, 1, 1, 3))  # (T, H, W, C)
+    target = converged_log_spectra(ref)[None]  # (1, nbins-1)
+
+    # Members with the same low-k moving structure at the right level.
+    win_phases = phases[:4]
+    frames = jnp.stack([
+        jnp.sin(2 * jnp.pi * (xs + p)) for p in win_phases
+    ])[:, None, :, :, None]
+    t = jnp.broadcast_to(frames, (4, 1, h, w, 3))
+    good = t[:, :, None] + 0.02 * jax.random.normal(key, (4, 1, 3, h, w, 3))
+    noisy = t[:, :, None] + 0.5 * jax.random.normal(key, (4, 1, 3, h, w, 3))
+    under = 0.1 * good  # right shape, 10x under-dispersed
+
+    e_good = float(spectral_target_mse(good, target))
+    e_noisy = float(spectral_target_mse(noisy, target))
+    e_under = float(spectral_target_mse(under, target))
+    assert e_noisy > e_good * 3, (e_good, e_noisy)
+    assert e_under > e_good * 1.5, (e_good, e_under)
 
 
 def test_resolve_temperature_priority():

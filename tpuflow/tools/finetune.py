@@ -65,6 +65,26 @@ def main(argv=None) -> dict:
     ds = load_dataset(cfg.data, cfg.model, "train", norm=norm)
     b = min(ft.batch_size, ds.n_traj)
 
+    # Converged-reference log-spectrum targets, one per train
+    # trajectory (train/finetune.spectral_target_mse): the SAME
+    # trajectories extended to eval.ref_steps, normalized with the
+    # checkpoint constants, spectra in normalized space.
+    from tpuflow.data import generate_case
+    from tpuflow.train.finetune import converged_log_spectra
+
+    ref_steps = max(cfg.eval.ref_steps, cfg.data.train_steps)
+    _, hf_long = generate_case(
+        cfg.data.case, ds.n_traj, ref_steps,
+        cfg.model.hf_shape, cfg.model.lf_shape, seed=cfg.data.seed,
+        fixture_version=cfg.data.fixture_version,
+    )
+    hf_long_n = (hf_long - np.asarray(norm.hf_mean)) / np.asarray(norm.hf_std)
+    spec_targets = jnp.stack([
+        converged_log_spectra(jnp.asarray(hf_long_n[i]))
+        for i in range(ds.n_traj)
+    ])  # (n_traj, nbins-1)
+    del hf_long, hf_long_n
+
     # Learned per-scale tau initialized at the deployed scalar.
     L = cfg.model.n_scales
     log_tau0 = jnp.log(
@@ -109,6 +129,7 @@ def main(argv=None) -> dict:
             hf = jnp.asarray(ds.hf[idx])
             opt_params, opt_state, metrics = step(
                 opt_params, buffers, opt_state, lf, hf,
+                spec_targets[jnp.asarray(idx)],
                 jax.random.PRNGKey(ft.seed + epoch * 1000 + bi),
                 lam_crps, lam_spec,
             )

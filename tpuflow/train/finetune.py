@@ -47,46 +47,58 @@ from tpuflow.models.tmglow import TMGlow
 _TAU_MAX = 1.1
 
 
-def spectral_log_mse(
-    members: jnp.ndarray, hf: jnp.ndarray, eps: float = 1e-14,
-    normalize: bool = True,
-) -> jnp.ndarray:
-    """Mean squared log radial-spectrum mismatch, per trajectory.
+_SPEC_EPS = 1e-14
 
-    Args:
-      members: (W, B, M, H, Wd, C) sampled member fields (normalized).
-      hf: (B, W, H, Wd, C) teacher fields (normalized).
-      normalize: match the spectral SHAPE (each spectrum divided by its
-        total energy) instead of the level. Measured necessity (r4
-        cylinder fine-tune, runs/r4_cylinder): the window's HF temporal
-        variance is far below the converged variance (8-step sampling
-        window), so LEVEL matching forces total ensemble dispersion
-        down to the window level — spectrum won (0.200 vs baseline
-        0.250) but coverage collapsed to 0.07@0.50 and TKE skill to
-        0.22. Shape matching moves energy to the right wavenumbers and
-        leaves the dispersion LEVEL to the CRPS term.
 
+def member_log_spectra(members: jnp.ndarray) -> jnp.ndarray:
+    """Per-trajectory log radial spectra of member fluctuations.
+
+    members: (W, B, M, H, Wd, C) sampled fields (normalized space).
     Velocity channels only; fluctuations remove the (window x member)
-    mean per trajectory. Index-space bins (both sides share the grid,
-    so physical binning would only rescale the axis); the Hann taper
-    matches the eval metric's non-periodic-domain treatment.
+    mean per trajectory; index-space bins with the Hann taper (the
+    eval metric's non-periodic treatment). Returns (B, nbins-1).
     """
     w, b, m = members.shape[:3]
     mem = jnp.moveaxis(members, 1, 0)  # (B, W, M, ...)
     mem = mem.reshape(b, w * m, *members.shape[3:])[..., :2]
     mem_fluct = mem - mem.mean(axis=1, keepdims=True)
-    ref = hf[..., :2]
-    ref_fluct = ref - ref.mean(axis=1, keepdims=True)
 
     def spec(f):
         return energy_spectrum(f, None, taper=True)[1]
 
-    e_m = jax.vmap(spec)(mem_fluct)[:, 1:]  # (B, nbins-1)
-    e_r = jax.vmap(spec)(ref_fluct)[:, 1:]
-    if normalize:
-        e_m = e_m / (e_m.sum(axis=1, keepdims=True) + eps)
-        e_r = e_r / (e_r.sum(axis=1, keepdims=True) + eps)
-    d = jnp.log(e_m + eps) - jnp.log(e_r + eps)
+    e_m = jax.vmap(spec)(mem_fluct)[:, 1:]
+    return jnp.log(e_m + _SPEC_EPS)
+
+
+def converged_log_spectra(hf_ref: jnp.ndarray) -> jnp.ndarray:
+    """Log radial spectrum target from a CONVERGED reference
+    trajectory (T, H, W, C) in normalized space -> (nbins-1,)."""
+    fl = hf_ref[..., :2] - hf_ref[..., :2].mean(0, keepdims=True)
+    e = energy_spectrum(fl, None, taper=True)[1][1:]
+    return jnp.log(e + _SPEC_EPS)
+
+
+def spectral_target_mse(
+    members: jnp.ndarray, log_targets: jnp.ndarray
+) -> jnp.ndarray:
+    """MSE between member-fluctuation log spectra and PRECOMPUTED
+    converged-reference log-spectrum targets (B, nbins-1).
+
+    Why targets, not the window's own HF (both r4 failures measured):
+    (a) LEVEL-matching the 8-step window's HF spectra forces total
+    ensemble dispersion down to the window's temporal-variance level —
+    spectrum won (0.200 vs bicubic 0.250) but coverage collapsed to
+    0.07@0.50 (runs/r4_cylinder/eval64_levelmatch); (b) SHAPE-only
+    matching leaves the level direction unanchored and the optimizer
+    inflates low-k energy without bound (gnorm 3008, all windows
+    overflowing by epoch 10). The converged target anchors both: it IS
+    the quantity the eval scores (pooled time x ensemble fluctuation
+    energy vs the converged temporal reference), so matching it drives
+    the sampled ensemble toward the right energy at every wavenumber —
+    including the ~2x raw underdispersion the post-hoc calibration
+    used to paper over.
+    """
+    d = member_log_spectra(members) - log_targets
     return jnp.mean(d * d)
 
 
@@ -100,10 +112,11 @@ def make_finetune_loss(
     n_members: int,
     remat: bool = False,
 ) -> Callable:
-    """Build loss((params, log_tau), buffers, lf_win, hf_win, state,
-    rng, lambda_crps, lambda_spec) -> (total, aux dict). Windows are
-    batch-major (B, W, ...). The lambda weights are RUNTIME (traced)
-    scalars so a weight sweep reuses one compilation."""
+    """Build loss((params, log_tau), buffers, lf_win, hf_win,
+    spec_target, state, rng, lambda_crps, lambda_spec) ->
+    (total, aux dict). Windows are batch-major (B, W, ...). The lambda
+    weights are RUNTIME (traced) scalars so a weight sweep reuses one
+    compilation."""
 
     def step(params, buffers, state, rng_t, lf_t, hf_t, tau):
         bpd, members, state = model.apply(
@@ -116,8 +129,8 @@ def make_finetune_loss(
     if remat:
         step = jax.checkpoint(step)
 
-    def loss_fn(opt_params, buffers, lf_win, hf_win, state, rng,
-                lambda_crps, lambda_spec):
+    def loss_fn(opt_params, buffers, lf_win, hf_win, spec_target, state,
+                rng, lambda_crps, lambda_spec):
         params, log_tau = opt_params
         tau = clipped_tau(log_tau)
         lf_tm = jnp.moveaxis(lf_win, 1, 0)  # (W, B, ...)
@@ -139,7 +152,7 @@ def make_finetune_loss(
         crps = jnp.mean(
             ensemble_crps(members, jnp.moveaxis(hf_win, 1, 0), axis=2)
         )
-        spec = spectral_log_mse(members, hf_win)
+        spec = spectral_target_mse(members, spec_target)
         total = bpd + lambda_crps * crps + lambda_spec * spec
         aux = {"bpd": bpd, "crps": crps, "spec": spec, "state": state}
         return total, aux
@@ -159,9 +172,12 @@ def make_finetune_trajectory_step(
     windows inside one jit, state VALUE carried, no gradient across
     window boundaries):
 
-    ((params, log_tau), buffers, opt_state, lf_traj, hf_traj, rng,
-     lambda_crps, lambda_spec)
+    ((params, log_tau), buffers, opt_state, lf_traj, hf_traj,
+     spec_target, rng, lambda_crps, lambda_spec)
       -> ((params, log_tau), opt_state, metrics)
+
+    ``spec_target``: (B, nbins-1) converged-reference log-spectrum
+    targets for the batch trajectories (see spectral_target_mse).
 
     The lambda weights are runtime scalars (one compile per
     model/shape, swept freely).
@@ -169,7 +185,7 @@ def make_finetune_trajectory_step(
     loss_fn = make_finetune_loss(model, n_members, remat=remat)
 
     def trajectory_step(opt_params, buffers, opt_state, lf_traj, hf_traj,
-                        rng, lambda_crps, lambda_spec):
+                        spec_target, rng, lambda_crps, lambda_spec):
         b, t = lf_traj.shape[:2]
         n_win = t // window
         if n_win == 0:
@@ -193,8 +209,8 @@ def make_finetune_trajectory_step(
             rng_w, lf_win, hf_win = xs
             (loss, aux), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(opt_params, buffers, lf_win, hf_win, state, rng_w,
-              lambda_crps, lambda_spec)
+            )(opt_params, buffers, lf_win, hf_win, spec_target, state,
+              rng_w, lambda_crps, lambda_spec)
             # Finite-update guard: the sampling branch can overflow a
             # window (reverse-path amplification once params move off
             # the converged manifold); one NaN gradient would poison
