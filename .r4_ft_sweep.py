@@ -63,16 +63,18 @@ print(f"# sweep {case}: settings={settings} epochs={EPOCHS} "
 
 order_root = np.random.default_rng(7)
 n_batches = -(-ds.n_traj // b)
-for lam_c, lam_s in settings:
+for lam_c, lam_s, *rest in settings:
+    lam_d = rest[0] if rest else 0.0
     opt_params = (params0, log_tau0)
     opt_state = opt.init(opt_params)
     lc, ls = jnp.float32(lam_c), jnp.float32(lam_s)
+    ldp = jnp.float32(lam_d)
     t0 = time.monotonic()
     hist = []
     for epoch in range(EPOCHS):
         order = order_root.permutation(ds.n_traj)
-        ep = {"bpd": [], "crps": [], "spec": [], "grad_norm": [],
-              "skipped_windows": []}
+        ep = {"bpd": [], "crps": [], "spec": [], "disp": [],
+              "grad_norm": [], "skipped_windows": []}
         for bi in range(n_batches):
             idx = order[bi * b: (bi + 1) * b]
             if len(idx) < b:
@@ -81,15 +83,15 @@ for lam_c, lam_s in settings:
                 opt_params, buffers, opt_state,
                 jnp.asarray(ds.lf[idx]), jnp.asarray(ds.hf[idx]),
                 spec_targets[jnp.asarray(idx)],
-                jax.random.PRNGKey(epoch * 100 + bi), lc, ls,
+                jax.random.PRNGKey(epoch * 100 + bi), lc, ls, ldp,
             )
             for k in ep:
                 ep[k].append(float(m[k]))
         hist.append({k: float(np.mean(v)) for k, v in ep.items()})
         tau = [round(float(t), 3) for t in np.asarray(m["tau"])]
-        print(f"  lam=({lam_c},{lam_s}) ep{epoch}: "
+        print(f"  lam=({lam_c},{lam_s},{lam_d}) ep{epoch}: "
               f"bpd={hist[-1]['bpd']:.3f} crps={hist[-1]['crps']:.4f} "
-              f"spec={hist[-1]['spec']:.3f} tau={tau} "
+              f"spec={hist[-1]['spec']:.3f} disp={hist[-1]['disp']:.3f} tau={tau} "
               f"gnorm={hist[-1]['grad_norm']:.2f} "
               f"skip={hist[-1]['skipped_windows']:.0f} "
               f"({time.monotonic()-t0:.0f}s)", flush=True)

@@ -72,8 +72,9 @@ def test_finetune_trajectory_step_updates_params_and_tau():
     (p1, lt1), opt_state, metrics = step(
         opt_params, buffers, opt_state, lf, hf, spec_t,
         jax.random.PRNGKey(5), jnp.float32(0.5), jnp.float32(0.05),
+        jnp.float32(0.3),
     )
-    for k in ("loss", "bpd", "crps", "spec"):
+    for k in ("loss", "bpd", "crps", "spec", "disp"):
         assert np.isfinite(float(metrics[k])), k
     # Both the parameters and the per-scale temperature moved.
     moved = any(
@@ -109,6 +110,7 @@ def test_finetune_optimizer_freezes_tau_when_disabled():
     (_, lt1), _, _ = step(
         opt_params, variables["buffers"], opt.init(opt_params), lf, hf,
         spec_t, jax.random.PRNGKey(8), jnp.float32(0.5), jnp.float32(0.0),
+        jnp.float32(0.0),
     )
     np.testing.assert_array_equal(np.asarray(lt1), np.asarray(log_tau))
 
@@ -144,6 +146,22 @@ def test_spectral_target_mse_discriminates():
     good = t[:, :, None] + 0.02 * jax.random.normal(key, (4, 1, 3, h, w, 3))
     noisy = t[:, :, None] + 0.5 * jax.random.normal(key, (4, 1, 3, h, w, 3))
     under = 0.1 * good  # right shape, 10x under-dispersed
+
+    # Spread-skill term: correct spread scores lower than 5x-inflated
+    # or 5x-deflated ensembles around the same mean.
+    from tpuflow.train.finetune import dispersion_log_mse
+
+    hf_tm = t + 0.02 * jax.random.normal(key, (4, 1, h, w, 3))
+    d_good = float(dispersion_log_mse(good, hf_tm))
+    d_wide = float(dispersion_log_mse(
+        good.mean(2, keepdims=True) + 5 * (good - good.mean(2, keepdims=True)),
+        hf_tm,
+    ))
+    d_tight = float(dispersion_log_mse(
+        good.mean(2, keepdims=True) + 0.2 * (good - good.mean(2, keepdims=True)),
+        hf_tm,
+    ))
+    assert d_good < d_wide and d_good < d_tight, (d_good, d_wide, d_tight)
 
     e_good = float(spectral_target_mse(good, target))
     e_noisy = float(spectral_target_mse(noisy, target))

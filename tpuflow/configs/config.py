@@ -286,6 +286,10 @@ class FinetuneConfig:
     lambda_crps: float = 0.0
     # Member-fluctuation log-spectrum MSE weight (0 = off).
     lambda_spec: float = 0.0
+    # Spread-skill (variance-matching) weight: per-pixel log-MSE of
+    # fair ensemble variance vs squared ensemble-mean error — the one
+    # dispersion signal window temporal variation cannot fake (0 = off).
+    lambda_disp: float = 0.0
     lr: float = 1e-4
     grad_clip: float = 1000.0
     # Optimize a per-scale log sampling temperature jointly with the

@@ -102,6 +102,7 @@ def main(argv=None) -> dict:
     )
     lam_crps = jnp.float32(ft.lambda_crps)
     lam_spec = jnp.float32(ft.lambda_spec)
+    lam_disp = jnp.float32(ft.lambda_disp)
 
     out_dir = pathlib.Path(
         ft.checkpoint_dir
@@ -110,7 +111,7 @@ def main(argv=None) -> dict:
     ckpt = Checkpointer(out_dir / cfg.name)
     log_path = out_dir / f"{cfg.name}_finetune_log.csv"
     out_dir.mkdir(parents=True, exist_ok=True)
-    log_rows = ["epoch,loss,bpd,crps,spec,tau,seconds,grad_norm,skipped_windows"]
+    log_rows = ["epoch,loss,bpd,crps,spec,disp,tau,seconds,grad_norm,skipped_windows"]
 
     rng_root = np.random.default_rng(ft.seed)
     n_batches = math.ceil(ds.n_traj / b)
@@ -119,7 +120,7 @@ def main(argv=None) -> dict:
     for epoch in range(ft.epochs):
         t0 = time.monotonic()
         order = rng_root.permutation(ds.n_traj)
-        ep = {"loss": [], "bpd": [], "crps": [], "spec": [],
+        ep = {"loss": [], "bpd": [], "crps": [], "spec": [], "disp": [],
               "grad_norm": [], "skipped_windows": []}
         for bi in range(n_batches):
             idx = order[bi * b: (bi + 1) * b]
@@ -131,7 +132,7 @@ def main(argv=None) -> dict:
                 opt_params, buffers, opt_state, lf, hf,
                 spec_targets[jnp.asarray(idx)],
                 jax.random.PRNGKey(ft.seed + epoch * 1000 + bi),
-                lam_crps, lam_spec,
+                lam_crps, lam_spec, lam_disp,
             )
             for k in ep:
                 ep[k].append(float(metrics[k]))
@@ -139,6 +140,7 @@ def main(argv=None) -> dict:
         row = (
             f"{epoch},{np.mean(ep['loss']):.5f},{np.mean(ep['bpd']):.5f},"
             f"{np.mean(ep['crps']):.5f},{np.mean(ep['spec']):.5f},"
+            f"{np.mean(ep['disp']):.5f},"
             f"\"{tau_now}\",{time.monotonic() - t0:.1f},"
             f"{np.mean(ep['grad_norm']):.3f},{np.sum(ep['skipped_windows']):.0f}"
         )
@@ -163,11 +165,13 @@ def main(argv=None) -> dict:
             "n_members": ft.n_members,
             "lambda_crps": ft.lambda_crps,
             "lambda_spec": ft.lambda_spec,
+            "lambda_disp": ft.lambda_disp,
             "lr": ft.lr,
             "source_dir": src_cfg.train.checkpoint_dir,
             "final_bpd": float(np.mean(ep["bpd"])),
             "final_crps": float(np.mean(ep["crps"])),
             "final_spec": float(np.mean(ep["spec"])),
+            "final_disp": float(np.mean(ep["disp"])),
         },
     }
     if not ft.learn_tau:

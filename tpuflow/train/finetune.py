@@ -15,7 +15,11 @@ objective evaluated on actual generative draws every window:
     loss = mean bpd                          (NLL anchor — keeps density)
          + lambda_crps * fair ensemble CRPS  (dispersion in the loop)
          + lambda_spec * log-spectrum MSE    (member fluctuation spectra
-                                              match the HF reference's)
+                                              match the CONVERGED
+                                              reference targets)
+         + lambda_disp * spread-skill MSE    (ensemble variance matches
+                                              squared ensemble-mean
+                                              error pointwise)
 
 plus optionally a LEARNED per-scale sampling temperature (log_tau,
 optimized jointly with the parameters) so the model can reallocate
@@ -102,6 +106,32 @@ def spectral_target_mse(
     return jnp.mean(d * d)
 
 
+def dispersion_log_mse(
+    members: jnp.ndarray, hf_tm: jnp.ndarray, eps: float = 1e-12
+) -> jnp.ndarray:
+    """Spread-skill (variance-matching) loss: per-pixel log-MSE between
+    the fair ensemble variance and the squared ensemble-mean error,
+    window-aggregated.
+
+    A calibrated ensemble satisfies E[(x_bar - y)^2] = (1 + 1/M) *
+    E[var_ens] pointwise. This is the ONE dispersion signal the window
+    temporal variation cannot fake (measured, r4: with pooled-spectrum
+    or CRPS objectives the optimizer kept collapsing tau — the 8-step
+    window's temporal wake motion already carries the pooled
+    fluctuation energy, so ensemble spread was redundant to those
+    losses; coverage collapsed to ~0.08@0.50 twice,
+    runs/r4_cylinder/eval64_levelmatch + eval64_ft4).
+
+    members: (W, B, M, H, Wd, C); hf_tm: (W, B, H, Wd, C).
+    """
+    m = members.shape[2]
+    mu = members.mean(axis=2)
+    err2 = ((mu - hf_tm) ** 2).mean(axis=0)          # (B, H, Wd, C)
+    var = members.var(axis=2).mean(axis=0) * (1.0 + 1.0 / m)
+    d = jnp.log(var + eps) - jnp.log(err2 + eps)
+    return jnp.mean(d * d)
+
+
 def clipped_tau(log_tau: jax.Array) -> jax.Array:
     """exp(log_tau) bounded to (0, _TAU_MAX] (stability ceiling)."""
     return jnp.minimum(jnp.exp(log_tau), _TAU_MAX)
@@ -130,7 +160,7 @@ def make_finetune_loss(
         step = jax.checkpoint(step)
 
     def loss_fn(opt_params, buffers, lf_win, hf_win, spec_target, state,
-                rng, lambda_crps, lambda_spec):
+                rng, lambda_crps, lambda_spec, lambda_disp):
         params, log_tau = opt_params
         tau = clipped_tau(log_tau)
         lf_tm = jnp.moveaxis(lf_win, 1, 0)  # (W, B, ...)
@@ -153,8 +183,11 @@ def make_finetune_loss(
             ensemble_crps(members, jnp.moveaxis(hf_win, 1, 0), axis=2)
         )
         spec = spectral_target_mse(members, spec_target)
-        total = bpd + lambda_crps * crps + lambda_spec * spec
-        aux = {"bpd": bpd, "crps": crps, "spec": spec, "state": state}
+        disp = dispersion_log_mse(members, hf_tm)
+        total = (bpd + lambda_crps * crps + lambda_spec * spec
+                 + lambda_disp * disp)
+        aux = {"bpd": bpd, "crps": crps, "spec": spec, "disp": disp,
+               "state": state}
         return total, aux
 
     return loss_fn
@@ -173,7 +206,7 @@ def make_finetune_trajectory_step(
     window boundaries):
 
     ((params, log_tau), buffers, opt_state, lf_traj, hf_traj,
-     spec_target, rng, lambda_crps, lambda_spec)
+     spec_target, rng, lambda_crps, lambda_spec, lambda_disp)
       -> ((params, log_tau), opt_state, metrics)
 
     ``spec_target``: (B, nbins-1) converged-reference log-spectrum
@@ -185,7 +218,8 @@ def make_finetune_trajectory_step(
     loss_fn = make_finetune_loss(model, n_members, remat=remat)
 
     def trajectory_step(opt_params, buffers, opt_state, lf_traj, hf_traj,
-                        spec_target, rng, lambda_crps, lambda_spec):
+                        spec_target, rng, lambda_crps, lambda_spec,
+                        lambda_disp):
         b, t = lf_traj.shape[:2]
         n_win = t // window
         if n_win == 0:
@@ -210,7 +244,7 @@ def make_finetune_trajectory_step(
             (loss, aux), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(opt_params, buffers, lf_win, hf_win, spec_target, state,
-              rng_w, lambda_crps, lambda_spec)
+              rng_w, lambda_crps, lambda_spec, lambda_disp)
             # Finite-update guard: the sampling branch can overflow a
             # window (reverse-path amplification once params move off
             # the converged manifold); one NaN gradient would poison
@@ -236,12 +270,12 @@ def make_finetune_trajectory_step(
                 new_opt_state, opt_state,
             )
             return (opt_params, opt_state, aux["state"]), (
-                loss, aux["bpd"], aux["crps"], aux["spec"], gnorm,
-                1.0 - ok.astype(jnp.float32),
+                loss, aux["bpd"], aux["crps"], aux["spec"], aux["disp"],
+                gnorm, 1.0 - ok.astype(jnp.float32),
             )
 
         (opt_params, opt_state, _), (
-            losses, bpds, crpss, specs, gnorms, skipped
+            losses, bpds, crpss, specs, disps, gnorms, skipped
         ) = jax.lax.scan(
             window_body, (opt_params, opt_state, state0),
             (rngs, lf_w, hf_w),
@@ -259,6 +293,7 @@ def make_finetune_trajectory_step(
             "bpd": fmean(bpds),
             "crps": fmean(crpss),
             "spec": fmean(specs),
+            "disp": fmean(disps),
             "grad_norm": fmean(gnorms),
             "skipped_windows": skipped.sum(),
             "tau": clipped_tau(opt_params[1]),
