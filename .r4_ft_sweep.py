@@ -38,7 +38,12 @@ ds = load_dataset(cfg.data, cfg.model, "train", norm=norm)
 b = min(ft.batch_size, ds.n_traj)
 L = cfg.model.n_scales
 log_tau0 = jnp.log(jnp.full((L,), float(cfg.eval.temperature), jnp.float32))
-opt = make_finetune_optimizer(ft.lr, ft.grad_clip, True)
+from tpuflow.train.finetune import _scope_mask
+opt = make_finetune_optimizer(
+    ft.lr, ft.grad_clip, True,
+    scope_mask=(_scope_mask(params0, ft.train_scope)
+                if ft.train_scope != "all" else None),
+)
 from tpuflow.data import generate_case
 from tpuflow.train.finetune import converged_log_spectra
 ref_steps = max(cfg.eval.ref_steps, cfg.data.train_steps)

@@ -223,3 +223,66 @@ def test_fixture_v3_cascade():
     from tpuflow.data.synthetic import _bstep_mask
 
     assert np.all(hf3[0][:, _bstep_mask((32, 64)), :2] == 0.0)
+
+
+def test_finetune_prior_scope_freezes_decoder():
+    """train_scope='priors': only the conditional-prior nets (and
+    log_tau) move; couplings/encoder/LSTM/actnorm/inv1x1 stay frozen
+    (the structurally safe dispersion fine-tune)."""
+    from tpuflow.train.finetune import (
+        _scope_mask,
+        converged_log_spectra,
+        make_finetune_optimizer,
+        make_finetune_trajectory_step,
+    )
+
+    model = TMGlow(MC)
+    lf, hf = _data(jax.random.PRNGKey(10))
+    state = init_lstm_state(MC, (B,))
+    variables = model.init(jax.random.PRNGKey(11), hf[:, 0], lf[:, 0], state)
+    params = variables["params"]
+    mask = _scope_mask(params, "priors")
+    flat_mask = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_flatten_with_path(mask)[0]
+    }
+    assert any(v for v in flat_mask.values())
+    assert not all(v for v in flat_mask.values())
+    for path, v in flat_mask.items():
+        assert v == ("prior" in path), path
+
+    log_tau = jnp.log(jnp.full((MC.n_scales,), 0.8, jnp.float32))
+    opt = make_finetune_optimizer(
+        1e-2, 100.0, learn_tau=True, scope_mask=mask
+    )
+    opt_params = (params, log_tau)
+    step = jax.jit(
+        make_finetune_trajectory_step(model, opt, window=2, n_members=M)
+    )
+    spec_t = jnp.stack([converged_log_spectra(hf[i]) for i in range(B)])
+    (p1, lt1), _, _ = step(
+        opt_params, variables["buffers"], opt.init(opt_params), lf, hf,
+        spec_t, jax.random.PRNGKey(12), jnp.float32(0.5),
+        jnp.float32(0.05), jnp.float32(0.5),
+    )
+    flat0 = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_flatten_with_path(params)[0]
+    }
+    flat1 = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_flatten_with_path(p1)[0]
+    }
+    moved_any_prior = False
+    for path in flat0:
+        if "prior" in path:
+            moved_any_prior = moved_any_prior or not np.allclose(
+                np.asarray(flat0[path]), np.asarray(flat1[path])
+            )
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(flat0[path]), np.asarray(flat1[path]),
+                err_msg=path,
+            )
+    assert moved_any_prior
+    assert not np.allclose(np.asarray(lt1), np.asarray(log_tau))

@@ -295,6 +295,10 @@ class FinetuneConfig:
     # Optimize a per-scale log sampling temperature jointly with the
     # parameters; deployed via checkpoint meta "learned_tau".
     learn_tau: bool = True
+    # Which parameters may move: "all", or "priors" (only the
+    # conditional-prior nets — dispersion reallocation with the decode
+    # map frozen; see train/finetune._scope_mask).
+    train_scope: str = "all"
     remat: bool = False
     # Source checkpoint directory ("" = train.checkpoint_dir). The
     # fine-tuned checkpoint saves to checkpoint_dir ("" = source +

@@ -90,7 +90,15 @@ def main(argv=None) -> dict:
     log_tau0 = jnp.log(
         jnp.full((L,), float(cfg.eval.temperature), jnp.float32)
     )
-    opt = make_finetune_optimizer(ft.lr, ft.grad_clip, ft.learn_tau)
+    from tpuflow.train.finetune import _scope_mask
+
+    opt = make_finetune_optimizer(
+        ft.lr, ft.grad_clip, ft.learn_tau,
+        scope_mask=(
+            _scope_mask(params, ft.train_scope)
+            if ft.train_scope != "all" else None
+        ),
+    )
     opt_params = (params, log_tau0)
     opt_state = opt.init(opt_params)
 
@@ -166,6 +174,7 @@ def main(argv=None) -> dict:
             "lambda_crps": ft.lambda_crps,
             "lambda_spec": ft.lambda_spec,
             "lambda_disp": ft.lambda_disp,
+            "train_scope": ft.train_scope,
             "lr": ft.lr,
             "source_dir": src_cfg.train.checkpoint_dir,
             "final_bpd": float(np.mean(ep["bpd"])),

@@ -303,13 +303,39 @@ def make_finetune_trajectory_step(
     return trajectory_step
 
 
+def _scope_mask(params, scope: str):
+    """Boolean pytree: which parameters the fine-tune may move.
+
+    "all": every parameter. "priors": ONLY the conditional-prior nets
+    (split*/prior and base_prior) — the dispersion-owning parameters.
+    Freezing the couplings/encoder/LSTM keeps the decode map (and
+    therefore the mean-field accuracy and density) fixed while the
+    priors reallocate/rescale the latent variance: the structurally
+    safe dispersion fine-tune (the full-scope composite objective
+    destabilized bpd in three measured r4 attempts).
+    """
+    if scope == "all":
+        return jax.tree_util.tree_map(lambda _: True, params)
+    if scope != "priors":
+        raise ValueError(f"train_scope must be 'all' or 'priors', got {scope!r}")
+
+    def mark(path, _leaf):
+        keys = [str(getattr(k, "key", "")) for k in path]
+        return any("prior" in k for k in keys)
+
+    return jax.tree_util.tree_map_with_path(mark, params)
+
+
 def make_finetune_optimizer(
-    lr: float, grad_clip: float, learn_tau: bool, tau_lr_scale: float = 10.0
+    lr: float, grad_clip: float, learn_tau: bool,
+    tau_lr_scale: float = 10.0, scope_mask=None,
 ) -> optax.GradientTransformation:
     """Adam over the (params, log_tau) tuple. log_tau gets lr *
     tau_lr_scale (a 3-vector fit against field-sized gradients needs a
     faster clock than the net weights); with ``learn_tau=False`` its
-    updates are zeroed so tau stays at initialization.
+    updates are zeroed so tau stays at initialization. ``scope_mask``
+    (a boolean pytree over params, see _scope_mask) freezes everything
+    outside the fine-tune scope.
     """
     def tau_mask(factor: float):
         def mask(tree):
@@ -322,6 +348,12 @@ def make_finetune_optimizer(
         optax.clip_by_global_norm(grad_clip),
         optax.adam(lr),
     ]
+    if scope_mask is not None:
+        # Zero updates OUTSIDE the scope: masked(scale(0), outside).
+        inverted = jax.tree_util.tree_map(lambda b: not b, scope_mask)
+        chain.append(
+            optax.masked(optax.scale(0.0), lambda tree: (inverted, False))
+        )
     if learn_tau:
         chain.append(tau_mask(tau_lr_scale))
     else:
