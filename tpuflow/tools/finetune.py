@@ -85,10 +85,16 @@ def main(argv=None) -> dict:
     ])  # (n_traj, nbins-1)
     del hf_long, hf_long_n
 
-    # Learned per-scale tau initialized at the deployed scalar.
+    # Learned per-scale tau initialized at the source checkpoint's
+    # deployed temperature (its own learned_tau when chaining
+    # fine-tune stages; the scalar preset otherwise).
+    from tpuflow.eval.loading import resolve_temperature
+
     L = cfg.model.n_scales
+    tau0 = resolve_temperature(cfg, ckpt_meta)
     log_tau0 = jnp.log(
-        jnp.full((L,), float(cfg.eval.temperature), jnp.float32)
+        jnp.full((L,), float(tau0), jnp.float32)
+        if np.ndim(tau0) == 0 else jnp.asarray(tau0, jnp.float32)
     )
     from tpuflow.train.finetune import _scope_mask
 
