@@ -295,7 +295,9 @@ class FinetuneConfig:
     # Optimize a per-scale log sampling temperature jointly with the
     # parameters; deployed via checkpoint meta "learned_tau".
     learn_tau: bool = True
-    # Which parameters may move: "all", or "priors" (only the
+    # Which parameters may move: "all"; "nets" (all except the
+    # exponentially-sensitive actnorm/inv1x1 flow-arithmetic params —
+    # the stable full-capacity scope); or "priors" (only the
     # conditional-prior nets — dispersion reallocation with the decode
     # map frozen; see train/finetune._scope_mask).
     train_scope: str = "all"

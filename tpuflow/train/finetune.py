@@ -316,8 +316,23 @@ def _scope_mask(params, scope: str):
     """
     if scope == "all":
         return jax.tree_util.tree_map(lambda _: True, params)
+    if scope == "nets":
+        # Everything EXCEPT the flow-arithmetic parameters (actnorm
+        # scale/bias, inv-1x1 LU factors): those are log-scale-like and
+        # EXPONENTIALLY sensitive — a spike-driven Adam step of ~1e-2
+        # on hundreds of log-scales compounds multiplicatively through
+        # L*K flow steps, the suspected mechanism behind the abrupt
+        # full-scope bpd collapses (r4, three runs). NLL training keeps
+        # them healthy; the sample-path objectives don't need them.
+        def mark_nets(path, _leaf):
+            keys = [str(getattr(k, "key", "")) for k in path]
+            return not any(k in ("actnorm", "invconv") for k in keys)
+
+        return jax.tree_util.tree_map_with_path(mark_nets, params)
     if scope != "priors":
-        raise ValueError(f"train_scope must be 'all' or 'priors', got {scope!r}")
+        raise ValueError(
+            f"train_scope must be 'all', 'nets' or 'priors', got {scope!r}"
+        )
 
     def mark(path, _leaf):
         keys = [str(getattr(k, "key", "")) for k in path]
