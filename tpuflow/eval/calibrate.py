@@ -173,6 +173,78 @@ def apply_quantile_map(
     return out
 
 
+def fit_spectral_filter(
+    e_model: jnp.ndarray,
+    e_ref: jnp.ndarray,
+    k_bins: jnp.ndarray,
+    cap: float = 1.2,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Radial spectral calibration filter S(k) = sqrt(E_ref / E_model).
+
+    Post-hoc SHAPE calibration of the sampled fields themselves — the
+    spectral analogue of the spread-scale: the r4 in-loop campaign
+    measured that the flow cannot reshape its sampling-noise spectrum
+    without either collapsing dispersion or overflowing the decoder's
+    latent validity range (docs/PARITY.md r4 closure), so the
+    correction moves to the calibration layer. Fit on the fit split's
+    pooled member-fluctuation spectra vs the converged references;
+    apply with ``apply_spectral_filter`` (deploys like spread_scale —
+    a (k, S) radial profile rides the artifact chain).
+
+    ``cap`` bounds amplification (S <= cap): the filter's job is to
+    REMOVE hallucinated high-k noise; amplifying bins where the model
+    under-shoots would amplify whatever junk lives there.
+
+    Args:
+      e_model: (nbins,) pooled member-fluctuation spectrum (fit split).
+      e_ref: (nbins,) pooled converged-reference spectrum.
+      k_bins: (nbins,) physical bin-center wavenumbers.
+
+    Returns (k_bins, s_vals), each (nbins,).
+    """
+    s = jnp.sqrt((e_ref + 1e-30) / (e_model + 1e-30))
+    s = jnp.clip(s, 0.0, cap)
+    # The k=0 bin is the mean mode — never touched by the filter.
+    s = s.at[0].set(1.0)
+    return jnp.asarray(k_bins, jnp.float32), s.astype(jnp.float32)
+
+
+def apply_spectral_filter(
+    members: jnp.ndarray,
+    k_bins: jnp.ndarray,
+    s_vals: jnp.ndarray,
+    domain: tuple[float, float],
+) -> jnp.ndarray:
+    """Apply a radial spectral filter to member FLUCTUATIONS.
+
+    The (time x ensemble) mean field passes through untouched (the
+    filter corrects fluctuation shape, not the mean prediction); each
+    member's fluctuation is filtered in Fourier space with S(|k|)
+    interpolated from the fitted radial profile (linear, clamped to
+    the end values outside the fitted range).
+
+    Args:
+      members: (N, T, H, W, C) physical-unit member fields.
+      k_bins, s_vals: fitted radial profile (fit_spectral_filter).
+      domain: (Ly, Lx) physical extents — must match the fit's
+        binning so |k| means the same thing.
+
+    Returns filtered members, same shape.
+    """
+    ly, lx = float(domain[0]), float(domain[1])
+    h, w = members.shape[-3], members.shape[-2]
+    mean = members.mean(axis=(0, 1), keepdims=True)
+    fluct = members - mean
+    ky = jnp.asarray(np.fft.fftfreq(h) * h / ly)
+    kx = jnp.asarray(np.fft.rfftfreq(w) * w / lx)
+    kr = jnp.sqrt(ky[:, None] ** 2 + kx[None, :] ** 2)
+    s2d = jnp.interp(kr, k_bins, s_vals)  # clamps at the ends
+    x = jnp.moveaxis(fluct, -1, 0)  # (C, N, T, H, W)
+    spec = jnp.fft.rfft2(x, axes=(-2, -1))
+    x_f = jnp.fft.irfft2(spec * s2d, s=(h, w), axes=(-2, -1))
+    return mean + jnp.moveaxis(x_f, 0, -1)
+
+
 def fit_lf_conditioned_qmap(
     pred_parts: list,
     ref_parts: list,

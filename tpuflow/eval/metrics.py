@@ -33,6 +33,8 @@ import numpy as np
 from tpuflow.eval.baseline import lf_upsample, skill
 from tpuflow.eval.calibrate import (
     apply_lf_conditioned_qmap,
+    apply_spectral_filter,
+    fit_spectral_filter,
     apply_quantile_map,
     apply_quantile_map_stratified,
     fit_lf_conditioned_qmap,
@@ -320,6 +322,8 @@ def fit_calibration_artifacts(
     qmap_pred, qmap_ref = {0: [], 1: []}, {0: [], 1: []}
     qmap_pred_x, qmap_ref_x = {0: [], 1: []}, {0: [], 1: []}
     lf_stds = {0: [], 1: []}
+    spec_domain = (cfg.data.domain_y, cfg.data.domain_x)
+    e_m_parts, e_r_parts, spec_k = [], [], None
     for i in fit_idx:
         m_i, hf_i = (members0, hf0) if i == 0 else members_fn(i)
         # Keep the FIELD structure (T, H, W, C): the scalar and
@@ -353,6 +357,13 @@ def fit_calibration_artifacts(
         fl_r = ref_q_i[..., :2] - ref_q_i[..., :2].mean(
             0, keepdims=True
         )
+        # Pooled fluctuation spectra for the spectral calibration
+        # filter (calibrate.fit_spectral_filter): member vs converged
+        # reference, physical bins + taper (the eval definition).
+        spec_k, e_m_i = energy_spectrum(fl_m, spec_domain, taper=True)
+        _, e_r_i = energy_spectrum(fl_r, spec_domain, taper=True)
+        e_m_parts.append(np.asarray(e_m_i))
+        e_r_parts.append(np.asarray(e_r_i))
         # LF fluctuation stds for the LF-conditioned self-calibration
         # (calibrate.fit_lf_conditioned_qmap): deploy-available scale
         # covariate per trajectory.
@@ -441,6 +452,36 @@ def fit_calibration_artifacts(
         )
         for c in (0, 1)
     }
+    # Spectral calibration filter: radial S(k) = sqrt(E_ref/E_model)
+    # fit from the pooled fit-split spectra; the deployed chain is
+    # filter-then-variance-scale, so the variance factor for that
+    # chain is REFIT from the filtered members' moments (the filter
+    # changes the noise share of the ensemble variance).
+    spec_filter = fit_spectral_filter(
+        jnp.asarray(np.mean(e_m_parts, axis=0)),
+        jnp.asarray(np.mean(e_r_parts, axis=0)),
+        jnp.asarray(spec_k),
+    )
+    r2f_parts, vf_parts = [], []
+    for i in fit_idx:
+        m_i, hf_i = (members0, hf0) if i == 0 else members_fn(i)
+        m_f = apply_spectral_filter(m_i, *spec_filter, spec_domain)
+        r2f_parts.append(float(jnp.mean((hf_i - m_f.mean(axis=0)) ** 2)))
+        vf_parts.append(float(jnp.mean(m_f.var(axis=0))))
+        del m_i, m_f
+    var_factor_sf = float(
+        fit_variance_scale_from_moments(
+            float(np.mean(r2f_parts)), float(np.mean(vf_parts)),
+            cfg.eval.n_samples,
+        )
+    )
+    np.savez(
+        out_dir / "spectral_filter.npz",
+        k=np.asarray(spec_filter[0]),
+        s=np.asarray(spec_filter[1]),
+        variance_scale=var_factor_sf,
+        domain=np.asarray(spec_domain),
+    )
     np.savez(
         out_dir / "quantile_map.npz",
         **{
@@ -471,6 +512,9 @@ def fit_calibration_artifacts(
         "qmaps": qmaps,
         "qmaps_x": qmaps_x,
         "qmaps_lf": qmaps_lf,
+        "spec_filter": spec_filter,
+        "var_factor_sf": var_factor_sf,
+        "spec_domain": spec_domain,
     }
 
 
@@ -493,14 +537,16 @@ def score_holdout(
     sm = {
         k: 0.0
         for k in (
-            "tke_raw", "tke_cal", "tke_fld", "tke_base",
-            "rey_raw", "rey_cal", "rey_fld", "rey_base",
-            "w1u_raw", "w1u_cal", "w1u_fld", "w1u_qmap", "w1u_qmapx",
-            "w1u_qmaplf", "w1u_base",
-            "w1v_raw", "w1v_cal", "w1v_fld", "w1v_qmap", "w1v_qmapx",
-            "w1v_qmaplf", "w1v_base",
+            "tke_raw", "tke_cal", "tke_fld", "tke_sfc", "tke_base",
+            "rey_raw", "rey_cal", "rey_fld", "rey_sfc", "rey_base",
+            "w1u_raw", "w1u_cal", "w1u_fld", "w1u_sfc", "w1u_qmap",
+            "w1u_qmapx", "w1u_qmaplf", "w1u_base",
+            "w1v_raw", "w1v_cal", "w1v_fld", "w1v_sfc", "w1v_qmap",
+            "w1v_qmapx", "w1v_qmaplf", "w1v_base",
+            "spec_raw", "spec_sfc", "spec_base",
         )
     }
+    spec_domain = fits["spec_domain"]
     for i in report_idx:
         m_i, hf_i = (members0, hf0) if i == 0 else members_fn(i)
         m_cal = scale_members(m_i, scale)
@@ -513,6 +559,12 @@ def score_holdout(
         m_vcal = scale_members(m_i, var_factor)
         m_vfld = scale_members(
             m_i, s_field * (var_factor / max(float(scale), 1e-12))
+        )
+        # Deployed spectral-calibration chain: radial filter then the
+        # chain's own refit variance scale (calibrate.py).
+        m_sfc = scale_members(
+            apply_spectral_filter(m_i, *fits["spec_filter"], spec_domain),
+            fits["var_factor_sf"],
         )
         cov_raw += ensemble_coverage(m_i, hf_i, levels=COVERAGE_LEVELS)
         cov_cal += ensemble_coverage(m_cal, hf_i, levels=COVERAGE_LEVELS)
@@ -548,7 +600,8 @@ def score_holdout(
         )
         ref_tke_i = tke_field(hf_ref_i.var(axis=0))
         rey_ref_i = reynolds_stress_uv(hf_ref_i, axes=(0,))
-        for tag, m in (("raw", m_i), ("cal", m_vcal), ("fld", m_vfld)):
+        for tag, m in (("raw", m_i), ("cal", m_vcal), ("fld", m_vfld),
+                       ("sfc", m_sfc)):
             # Pooled (ensemble x time) variance == the deployed
             # total_variance(mean, var) construction exactly.
             sm[f"tke_{tag}"] += float(
@@ -576,9 +629,23 @@ def score_holdout(
         raw_fl = m_i[..., :2] - m_i[..., :2].mean(
             axis=(0, 1), keepdims=True
         )
+        # Holdout SPECTRUM scoring (the deployment-honest spectrum
+        # metric: fit-split filter, scored on the holdout split) for
+        # raw, deployed-chain, and baseline members.
+        sfc_fl = m_sfc[..., :2] - m_sfc[..., :2].mean(
+            axis=(0, 1), keepdims=True
+        )
+        _, e_ref_h = energy_spectrum(ref_fl_i, spec_domain, taper=True)
+        for tag, fl_h in (("raw", raw_fl), ("sfc", sfc_fl),
+                          ("base", base_fl_i)):
+            _, e_h = energy_spectrum(fl_h, spec_domain, taper=True)
+            sm[f"spec_{tag}"] += float(relative_l2(
+                jnp.log(e_h[1:] + 1e-20), jnp.log(e_ref_h[1:] + 1e-20)
+            ))
         for c, cname in enumerate(("u", "v")):
             ref_std_i = float(jnp.std(ref_fl_i[..., c])) + 1e-12
-            for tag, m in (("raw", m_i), ("cal", m_vcal), ("fld", m_vfld)):
+            for tag, m in (("raw", m_i), ("cal", m_vcal), ("fld", m_vfld),
+                           ("sfc", m_sfc)):
                 fl = m[..., :2] - m[..., :2].mean(
                     axis=(0, 1), keepdims=True
                 )
@@ -616,7 +683,7 @@ def score_holdout(
                 float(wasserstein1(base_fl_i[..., c], ref_fl_i[..., c]))
                 / ref_std_i
             )
-        del m_i, m_cal, m_fld, m_vcal, m_vfld, raw_fl
+        del m_i, m_cal, m_fld, m_vcal, m_vfld, m_sfc, raw_fl, sfc_fl
     n_rep = len(report_idx)
     sm = {k: v / n_rep for k, v in sm.items()}
     return {
@@ -708,6 +775,37 @@ def calibration_metric_rows(fits: dict, scores: dict, hold_idx) -> dict:
         pdf_w1_v_skill_holdout_qmapx=skill(
             sm["w1v_qmapx"], sm["w1v_base"]
         ),
+        # Spectral-calibration chain (radial filter + refit variance
+        # scale — calibrate.fit_spectral_filter; deploys via the saved
+        # spectral_filter.npz): holdout-scored spectrum + the same
+        # second-moment families.
+        spectrum_rel_l2_holdout_raw=sm["spec_raw"],
+        spectrum_rel_l2_holdout_speccal=sm["spec_sfc"],
+        baseline_spectrum_rel_l2_holdout=sm["spec_base"],
+        spectrum_skill_holdout_raw=skill(sm["spec_raw"], sm["spec_base"]),
+        spectrum_skill_holdout_speccal=skill(
+            sm["spec_sfc"], sm["spec_base"]
+        ),
+        variance_scale_fit_speccal=fits["var_factor_sf"],
+        tke_rel_l2_holdout_speccal=sm["tke_sfc"],
+        tke_skill_holdout_speccal=skill(sm["tke_sfc"], sm["tke_base"]),
+        reynolds_uv_rel_l2_holdout_speccal=sm["rey_sfc"],
+        reynolds_skill_holdout_speccal=skill(
+            sm["rey_sfc"], sm["rey_base"]
+        ),
+        pdf_w1_u_holdout_speccal=sm["w1u_sfc"],
+        pdf_w1_u_skill_holdout_speccal=skill(
+            sm["w1u_sfc"], sm["w1u_base"]
+        ),
+        pdf_w1_v_holdout_speccal=sm["w1v_sfc"],
+        pdf_w1_v_skill_holdout_speccal=skill(
+            sm["w1v_sfc"], sm["w1v_base"]
+        ),
+        spectral_filter_stats={
+            "min": float(np.asarray(fits["spec_filter"][1]).min()),
+            "max": float(np.asarray(fits["spec_filter"][1]).max()),
+            "mean": float(np.asarray(fits["spec_filter"][1]).mean()),
+        },
         # Per-location spread-field calibration (the "fld" column):
         # same disjoint fit/holdout protocol, field deploys via
         # eval.spread_field (saved as spread_field.npy below).
