@@ -184,10 +184,19 @@ def make_finetune_loss(
         )
         spec = spectral_target_mse(members, spec_target)
         disp = dispersion_log_mse(members, hf_tm)
+        # Always-on stability barrier: normalized fields live at
+        # |x| <~ 5; penalizing excursions beyond 8 sigma keeps the
+        # widened sampler INSIDE the decoder's validity envelope
+        # (measured r4: a dispersion fine-tune that meets the coverage
+        # target at its learned tau overflowed 3/4 trajectories at the
+        # 64-step 64-member horizon — the barrier is zero
+        # in-distribution and steers the widening away from the
+        # overflow boundary instead of discovering it at deploy time).
+        bound = jnp.mean(jax.nn.relu(jnp.abs(members) - 8.0) ** 2)
         total = (bpd + lambda_crps * crps + lambda_spec * spec
-                 + lambda_disp * disp)
+                 + lambda_disp * disp + bound)
         aux = {"bpd": bpd, "crps": crps, "spec": spec, "disp": disp,
-               "state": state}
+               "bound": bound, "state": state}
         return total, aux
 
     return loss_fn
@@ -271,11 +280,11 @@ def make_finetune_trajectory_step(
             )
             return (opt_params, opt_state, aux["state"]), (
                 loss, aux["bpd"], aux["crps"], aux["spec"], aux["disp"],
-                gnorm, 1.0 - ok.astype(jnp.float32),
+                aux["bound"], gnorm, 1.0 - ok.astype(jnp.float32),
             )
 
         (opt_params, opt_state, _), (
-            losses, bpds, crpss, specs, disps, gnorms, skipped
+            losses, bpds, crpss, specs, disps, bounds, gnorms, skipped
         ) = jax.lax.scan(
             window_body, (opt_params, opt_state, state0),
             (rngs, lf_w, hf_w),
@@ -294,6 +303,7 @@ def make_finetune_trajectory_step(
             "crps": fmean(crpss),
             "spec": fmean(specs),
             "disp": fmean(disps),
+            "bound": fmean(bounds),
             "grad_norm": fmean(gnorms),
             "skipped_windows": skipped.sum(),
             "tau": clipped_tau(opt_params[1]),
