@@ -76,7 +76,8 @@ def main(argv=None) -> dict:
     bsz = min(max(1, cfg.eval.traj_batch), ds.n_traj)
     rollout = jax.jit(
         make_batched_ensemble_rollout(
-            model, cfg.eval.n_samples, temperature, collect="stats"
+            model, cfg.eval.n_samples, temperature, collect="stats",
+            overflow_redraw=cfg.eval.overflow_redraw,
         )
     )
     means_l, vars_l = [], []
@@ -116,7 +117,8 @@ def main(argv=None) -> dict:
     # Ensemble CRPS/coverage are undefined for a single member.
     if t_cal > 0 and cfg.eval.n_samples >= 2:
         members_fn = members_fn_factory(
-            model, variables, ds, t_cal, cfg.eval.n_samples, temperature
+            model, variables, ds, t_cal, cfg.eval.n_samples, temperature,
+            overflow_redraw=cfg.eval.overflow_redraw,
         )
         members, hf0 = members_fn(0)
         calib = shape_metrics_traj0(

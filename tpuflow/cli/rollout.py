@@ -78,6 +78,7 @@ def main(argv=None) -> dict:
         make_ensemble_rollout(
             model, cfg.eval.n_samples, temperature,
             collect="stats", mesh=mesh,
+            overflow_redraw=cfg.eval.overflow_redraw,
         )
     )
     # Compile once, then time the real run (force_completion, not
@@ -156,7 +157,10 @@ def main(argv=None) -> dict:
     # Individual member samples (small fields-mode rollout to t_mid+1).
     n_show = min(8, cfg.eval.n_samples)
     fields_fn = jax.jit(
-        make_ensemble_rollout(model, n_show, temperature, "fields")
+        make_ensemble_rollout(
+            model, n_show, temperature, "fields",
+            overflow_redraw=cfg.eval.overflow_redraw,
+        )
     )
     fields = fields_fn(
         variables, jnp.asarray(lf_traj[: t_mid + 1]), jax.random.PRNGKey(2)

@@ -261,6 +261,14 @@ class EvalConfig:
     # Trajectories per batched-rollout dispatch in cli/evaluate.py —
     # bounds peak activation memory at traj_batch * n_samples members.
     traj_batch: int = 4
+    # Member-level overflow recovery in rollouts (eval/rollout.py):
+    # redraw failed ensemble members once at 0.6x temperature, then
+    # zero-fill. Needed for dispersion-fine-tuned (widened) samplers
+    # whose rare draws exceed the decoder's validity envelope; the
+    # unfailed fast path costs nothing (scalar lax.cond), but under
+    # the BATCHED trajectory rollout vmap executes both cond branches,
+    # so default off.
+    overflow_redraw: bool = False
     # Evaluating with NO checkpoint is an error by default: a typo'd
     # checkpoint_dir would otherwise silently evaluate an untrained
     # model and emit a complete, plausible-looking eval_metrics.json.

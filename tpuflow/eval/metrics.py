@@ -180,7 +180,8 @@ def per_trajectory_metrics(cfg, ds, means, vars_, hf_ref_long, T: int) -> dict:
 
 
 def members_fn_factory(
-    model, variables, ds, t_cal: int, n_samples: int, temperature
+    model, variables, ds, t_cal: int, n_samples: int, temperature,
+    overflow_redraw: bool = False,
 ) -> Callable:
     """Physical-unit ensemble members (N, T, H, W, C) + HF reference
     (T, H, W, C) for one test trajectory (fields-mode rollout, jitted
@@ -188,6 +189,7 @@ def members_fn_factory(
     fields_rollout = jax.jit(
         make_ensemble_rollout(
             model, n_samples, temperature, collect="fields",
+            overflow_redraw=overflow_redraw,
         )
     )
 

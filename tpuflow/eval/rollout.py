@@ -47,6 +47,7 @@ def make_ensemble_rollout(
     collect: str = "stats",
     mesh=None,
     unroll: int = 1,
+    overflow_redraw: bool = False,
 ) -> Callable:
     """Build rollout(variables, lf_traj, rng) for ONE LF trajectory.
 
@@ -112,10 +113,57 @@ def make_ensemble_rollout(
         def step(carry, feats_t):
             states, key = carry
             key, sub = jax.random.split(key)
+            states_in = states
             x, states = model.apply(
                 variables, feats_t, states, sub, temperature, inv_caches,
                 method=TMGlow.sample_from_feats,
             )  # x: internal flow layout ((N,H,W,C) nhwc / (H,W,N,C) hwnc)
+            if overflow_redraw:
+                # Member-level overflow recovery (SURVEY.md §5 failure
+                # detection, at ensemble granularity): a widened
+                # (dispersion-fine-tuned) sampler can rarely push a
+                # member outside the decoder's validity envelope and
+                # overflow it. Rejection-sample: redraw the FAILED
+                # members once at 0.6x temperature (same conditioning —
+                # the recurrent state never consumes x, so a redraw is
+                # exactly a fresh draw from the same conditional);
+                # zero-fill (= the climatological mean in normalized
+                # space) any member that fails twice. The redraw hides
+                # behind a scalar lax.cond, so the unfailed fast path
+                # pays nothing per step; default OFF — the r3-style
+                # models never trigger it (eval.overflow_redraw wires
+                # it for evaluation/rollout CLIs).
+                key, sub2 = jax.random.split(key)
+                fin_axes = tuple(
+                    a for a in range(x.ndim) if a != (m_ax % x.ndim)
+                )
+                finite = jnp.all(jnp.isfinite(x), axis=fin_axes)
+
+                def redraw(operands):
+                    x_bad, key2 = operands
+                    tau2 = (
+                        jnp.asarray(temperature, jnp.float32) * 0.6
+                    )
+                    x2, _ = model.apply(
+                        variables, feats_t, states_in, key2, tau2,
+                        inv_caches, method=TMGlow.sample_from_feats,
+                    )
+                    x2 = jnp.nan_to_num(
+                        x2, nan=0.0, posinf=0.0, neginf=0.0
+                    )
+                    fshape = [1] * x_bad.ndim
+                    fshape[m_ax % x_bad.ndim] = x_bad.shape[m_ax]
+                    keep = jnp.all(
+                        jnp.isfinite(x_bad), axis=fin_axes
+                    ).reshape(fshape)
+                    return jnp.where(keep, x_bad, x2)
+
+                x = jax.lax.cond(
+                    jnp.all(finite),
+                    lambda ops: ops[0],
+                    redraw,
+                    (x, sub2),
+                )
             if collect == "fields":
                 # Per-step member-major normalization: ONE transpose per
                 # step (hwnc) instead of ~2 per bijector.
@@ -147,6 +195,7 @@ def make_batched_ensemble_rollout(
     temperature: float = 1.0,
     collect: str = "stats",
     mesh=None,
+    overflow_redraw: bool = False,
 ) -> Callable:
     """Batched serving: rollout(variables, lf_trajs, rngs) for a BATCH
     of LF trajectories at once — vmap over the trajectory axis of the
@@ -168,7 +217,10 @@ def make_batched_ensemble_rollout(
     Returns stacked single-trajectory outputs: "stats" -> dict of
     mean/var (B, T, H, W, C); "fields" -> (B, T, N, H, W, C).
     """
-    single = make_ensemble_rollout(model, n_samples, temperature, collect)
+    single = make_ensemble_rollout(
+        model, n_samples, temperature, collect,
+        overflow_redraw=overflow_redraw,
+    )
     batched = jax.vmap(single, in_axes=(None, 0, 0, None))
 
     if mesh is None:
