@@ -227,6 +227,88 @@ def test_cylinder_documented_losses(metrics_cyl):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-4: sample-path fine-tuning + calibration-layer upgrades.
+# (1) Backward-step DISPERSION moved into the training loop (VERDICT r3
+# item 2): the 10-epoch nets-scope spread-skill fine-tune from the r3
+# checkpoint, evaluated at its learned per-scale tau with member
+# overflow redraw — RAW ensemble statistics now clear the bar without
+# post-hoc inflation. (2) Cylinder-array SPECTRUM beats bicubic under
+# the deployed spectral-calibration chain (VERDICT r3 item 1), fit on
+# the disjoint split and holdout-scored.
+
+RUN4B = pathlib.Path(__file__).resolve().parent.parent / "runs" / "r4_bstep"
+METRICS4B = RUN4B / "eval_ft_redraw" / "backward-step" / "eval_metrics.json"
+
+
+@pytest.fixture(scope="module")
+def metrics4b() -> dict:
+    _require(METRICS4B)
+    return json.loads(METRICS4B.read_text())
+
+
+def test_r4_bstep_raw_dispersion_targets(metrics4b):
+    # VERDICT r3 item 2 DoD, met RAW (no calibration layer):
+    # coverage >= 0.35 at nominal 0.50 and TKE skill >= 1.0.
+    assert metrics4b["coverage_holdout_raw"]["0.50"] >= 0.35
+    assert metrics4b["tke_skill_holdout_raw"] >= 1.0
+    # The fitted inflation is now ~1 (r3 needed 2.06) — the raw
+    # ensemble is honest; pin the residual factor small.
+    assert metrics4b["spread_scale"] < 1.3
+    assert metrics4b["variance_scale_fit"] < 1.2
+
+
+def test_r4_bstep_quality_held(metrics4b):
+    # The dispersion fine-tune must not cost the deterministic side:
+    # density improves, field/vorticity stay strongly above baseline,
+    # spectrum stays matched, every trajectory finite at the full
+    # 100-step stats horizon (the overflow-redraw guard's job).
+    assert metrics4b["test_bpd"] < -9.0
+    assert metrics4b["field_skill_vs_baseline"] > 1.5
+    assert metrics4b["vorticity_skill_vs_baseline"] > 3.0
+    assert metrics4b["spectrum_rel_l2"] < 0.15
+    assert all(
+        e == e for e in metrics4b["field_rel_l2_per_traj"]
+    ), "NaN trajectory in the stats rollout (overflow guard regressed)"
+
+
+RUN4C = pathlib.Path(__file__).resolve().parent.parent / "runs" / "r4_cylinder"
+METRICS4C = RUN4C / "eval64_speccal" / "cylinder-array" / "eval_metrics.json"
+
+
+@pytest.fixture(scope="module")
+def metrics4c() -> dict:
+    _require(METRICS4C)
+    return json.loads(METRICS4C.read_text())
+
+
+def test_r4_cylinder_spectrum_beats_baseline(metrics4c):
+    # VERDICT r3 item 1 (spectrum half): under the deployed
+    # spectral-calibration chain (filter fit on the disjoint split,
+    # holdout-scored) the cylinder ensemble now BEATS bicubic on the
+    # spectrum — the metric it lost 0.449 vs 0.250 at r3.
+    assert metrics4c["spectrum_skill_holdout_speccal"] > 1.1
+    assert (
+        metrics4c["spectrum_rel_l2_holdout_speccal"]
+        < metrics4c["baseline_spectrum_rel_l2_holdout"]
+    )
+    # And the chain helps, not hurts, the other second moments.
+    assert metrics4c["reynolds_skill_holdout_speccal"] > 1.2
+
+
+def test_r4_cylinder_tke_documented_loss(metrics4c):
+    # TKE remains the honest cylinder loss (VERDICT r3 item 1's other
+    # half): best deployed chain reaches 0.78 skill. Floor-pinned so
+    # regression is caught; if this crosses 1.0, promote to a win pin.
+    # The in-loop fix is measurably out of reach for this architecture
+    # (docs/PARITY.md r4: five fine-tune configurations all hit the
+    # decoder's latent-validity overflow boundary).
+    assert 0.6 < metrics4c["tke_skill_holdout_speccal"] < 1.0
+    assert metrics4c["tke_skill_holdout_speccal"] >= (
+        metrics4c["tke_skill_holdout_raw"]
+    )
+
+
 def test_training_curve_plateaued():
     val_log = RUN / "checkpoints" / "backward-step" / "val_log.csv"
     _require(val_log)
