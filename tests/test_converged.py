@@ -324,3 +324,49 @@ def test_training_curve_plateaued():
     tail_drop = bpds[int(len(bpds) * 0.9)] - best
     assert bpds[-1] <= best + 0.05 * abs(best)
     assert tail_drop < 0.10 * total_drop
+
+
+# ---------------------------------------------------------------------------
+# Round-4 fixture v3 (broadband k^-3 cascade HF; VERDICT r3 item 3):
+# with realistic high-wavenumber content the spectrum metric measures
+# turbulence rather than smoothness, and the generative ensemble beats
+# bicubic on EVERY family — including RAW TKE with no calibration
+# layer (the fine scales are genuinely unpredictable from LF, so
+# ensemble spread is real conditional uncertainty).
+
+RUNV3 = pathlib.Path(__file__).resolve().parent.parent / "runs" / "r4_v3"
+METRICSV3 = RUNV3 / "eval" / "backward-step" / "eval_metrics.json"
+
+
+@pytest.fixture(scope="module")
+def metrics_v3() -> dict:
+    _require(METRICSV3)
+    return json.loads(METRICSV3.read_text())
+
+
+def test_v3_spectrum_discriminates_turbulence(metrics_v3):
+    # Bicubic upsampling cannot create the cascade band: its raw
+    # holdout spectrum error is ~0.67 while the flow reproduces the
+    # broadband shape at ~0.05 (committed values; wide-margin pins).
+    assert metrics_v3["spectrum_rel_l2_holdout_raw"] < 0.15
+    assert metrics_v3["baseline_spectrum_rel_l2_holdout"] > 0.4
+    assert metrics_v3["spectrum_rel_l2"] < 0.15
+
+
+def test_v3_second_moments_beat_baseline_raw(metrics_v3):
+    # RAW ensemble wins TKE (1.32 committed) — no post-hoc inflation.
+    assert metrics_v3["tke_skill_holdout_raw"] > 1.1
+    assert metrics_v3["reynolds_skill_holdout_calibrated"] > 1.1
+    assert metrics_v3["pdf_w1_u_skill_holdout_qmap"] > 1.0
+    assert metrics_v3["field_skill_vs_baseline"] > 1.8
+    # Raw dispersion is healthier than v2's too (0.333 vs 0.21 at
+    # nominal 0.50; fitted inflation 1.61 vs 2.06).
+    assert metrics_v3["coverage_holdout_raw"]["0.50"] > 0.28
+    assert metrics_v3["spread_scale"] < 1.8
+
+
+def test_v3_training_stability_documented(metrics_v3):
+    # v3 is genuinely harder: bpd converges near -6.8 (v2: -8.4), and
+    # the r3 training preset NaN'd at epoch 81 — the committed run
+    # used lr 5e-4 / grad_clip 100 (runs/r4_v3 supervisor evidence).
+    assert -7.5 < metrics_v3["test_bpd"] < -6.0
