@@ -370,3 +370,66 @@ def test_v3_training_stability_documented(metrics_v3):
     # the r3 training preset NaN'd at epoch 81 — the committed run
     # used lr 5e-4 / grad_clip 100 (runs/r4_v3 supervisor evidence).
     assert -7.5 < metrics_v3["test_bpd"] < -6.0
+
+
+# ---------------------------------------------------------------------------
+# 64-step statistics window (VERDICT r3 item 4): the r3 verdict flagged
+# that the headline TKE skill was pinned only at the favorable 32-step
+# window. These pins state the whole window story as TESTED claims,
+# across the three committed 64-step artifacts.
+
+H64_R3 = pathlib.Path(__file__).resolve().parent.parent / "runs" / "r3_horizon64"
+H64_FT = RUN4B / "eval_ft_h64" / "backward-step" / "eval_metrics.json"
+H64_V3 = RUNV3 / "eval_h64" / "backward-step" / "eval_metrics.json"
+H64_CYL = RUN4C / "eval64_h64" / "cylinder-array" / "eval_metrics.json"
+
+
+def test_h64_r3_model_holds_reynolds_and_pdf():
+    """r3 model on fixture v2 at the 64-step window: Reynolds stress
+    and u' PDF hold above/at baseline while TKE inverts (the v2
+    phase-correlated LF lets bicubic's time-average converge) — the
+    short-window TKE value proposition is a bounded, documented claim,
+    not an unpinned assertion."""
+    p = H64_R3 / "backward-step" / "eval_metrics.json"
+    _require(p)
+    m = json.loads(p.read_text())
+    assert m["calibration_steps"] == 64
+    assert m["reynolds_skill_holdout_calibrated"] > 1.2
+    assert m["pdf_w1_u_skill_holdout_qmap"] >= 0.9
+    assert m["tke_skill_holdout_calibrated"] < 1.0  # documented inversion
+
+
+def test_h64_dispersion_is_window_robust():
+    """The fine-tuned raw dispersion does not depend on the window:
+    raw coverage at nominal 0.50 stays >= 0.35 at 64 steps too."""
+    _require(H64_FT)
+    m = json.loads(H64_FT.read_text())
+    assert m["calibration_steps"] == 64
+    assert m["coverage_holdout_raw"]["0.50"] >= 0.35
+
+
+def test_h64_v3_advantage_persists():
+    """On fixture v3 (stochastic fine scales — LF<->HF correlation
+    decays with horizon by construction) the 64-step window no longer
+    flips the story: spectrum stays a decisive win, Reynolds and the
+    u' PDF stay above baseline, and RAW TKE stays at parity (0.97
+    committed) instead of inverting to 0.58 as on v2. The v2
+    inversion was substantially a fixture artifact, as diagnosed in
+    r3 (docs/PARITY.md)."""
+    _require(H64_V3)
+    m = json.loads(H64_V3.read_text())
+    assert m["calibration_steps"] == 64
+    assert m["spectrum_rel_l2_holdout_raw"] < 0.15
+    assert m["baseline_spectrum_rel_l2_holdout"] > 0.4
+    assert m["reynolds_skill_holdout_calibrated"] > 1.0
+    assert m["pdf_w1_u_skill_holdout_qmap"] > 1.2
+    assert m["tke_skill_holdout_raw"] > 0.85
+
+
+def test_h64_cylinder_spectral_chain_window_robust():
+    """The deployed cylinder spectral-calibration chain keeps beating
+    bicubic on the spectrum at the 64-step window."""
+    _require(H64_CYL)
+    m = json.loads(H64_CYL.read_text())
+    assert m["calibration_steps"] == 64
+    assert m["spectrum_skill_holdout_speccal"] > 1.1
