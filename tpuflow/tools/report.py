@@ -196,6 +196,16 @@ def build_report(out_dir: pathlib.Path, case: str) -> str:
                 f"{_fmt(m.get(f'{sstem}_calibrated', float('nan')))} | "
                 f"{_fmt(fskill) if fskill is not None else '—'} |"
             )
+        if "spectrum_skill_holdout_speccal" in m:
+            lines += [
+                "",
+                "Spectral-calibration chain (radial filter fit on the "
+                "disjoint split, holdout-scored — `spectral_filter.npz`): "
+                f"spectrum rel-L2 {_fmt(m.get('spectrum_rel_l2_holdout_raw'))} raw -> "
+                f"{_fmt(m.get('spectrum_rel_l2_holdout_speccal'))} filtered vs "
+                f"baseline {_fmt(m.get('baseline_spectrum_rel_l2_holdout'))} "
+                f"(skill {_fmt(m.get('spectrum_skill_holdout_speccal'))}).",
+            ]
         if "pdf_w1_u_holdout_qmap" in m:
             lines += [
                 "",
@@ -260,6 +270,8 @@ def build_report(out_dir: pathlib.Path, case: str) -> str:
                 m.get("tke_skill_holdout_calibrated"),
             "per-location field calibration":
                 m.get("tke_skill_holdout_fieldcal"),
+            "spectral-calibration chain (`spectral_filter.npz`)":
+                m.get("tke_skill_holdout_speccal"),
         }
         tke_opts = {k: v for k, v in tke_opts.items() if v is not None}
         if tke_opts:
@@ -282,6 +294,8 @@ def build_report(out_dir: pathlib.Path, case: str) -> str:
                 "LF-conditioned self-calibrating map "
                 "(`quantile_map.npz` lx/ly/lalpha)":
                     m.get(f"pdf_w1_{c}_skill_holdout_qmaplf"),
+                "spectral-calibration chain":
+                    m.get(f"pdf_w1_{c}_skill_holdout_speccal"),
             }
             shape_opts = {k: v for k, v in shape_opts.items() if v}
             if shape_opts:
