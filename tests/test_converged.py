@@ -482,3 +482,33 @@ def test_v3_v_prime_meets_bar(metrics_v3):
     # the homogeneous cascade and the LINEAR calibrated family clears
     # the 0.8 bar (0.93 committed).
     assert metrics_v3["pdf_w1_v_skill_holdout_calibrated"] >= 0.8
+
+
+# ---------------------------------------------------------------------------
+# Round-4 fixture v3, cylinder-array: the r3 cylinder losses (TKE,
+# spectrum) were substantially artifacts of the streamfunction-smooth
+# v2 fixture — on the broadband-cascade fixture BOTH flip to wins.
+
+RUNV3C = pathlib.Path(__file__).resolve().parent.parent / "runs" / "r4_v3cyl"
+METRICSV3C = RUNV3C / "eval64" / "cylinder-array" / "eval_metrics.json"
+
+
+@pytest.fixture(scope="module")
+def metrics_v3c() -> dict:
+    _require(METRICSV3C)
+    return json.loads(METRICSV3C.read_text())
+
+
+def test_v3_cylinder_losses_flip_to_wins(metrics_v3c):
+    # TKE: 0.76 (v2, documented loss) -> 1.66 calibrated on v3.
+    assert metrics_v3c["tke_skill_holdout_calibrated"] > 1.3
+    # Spectrum: raw ensemble 0.051 vs bicubic 0.622 (bicubic cannot
+    # create the cascade band).
+    assert metrics_v3c["spectrum_rel_l2_holdout_raw"] < 0.15
+    assert metrics_v3c["baseline_spectrum_rel_l2_holdout"] > 0.4
+    # And the rest of the families hold above baseline.
+    assert metrics_v3c["reynolds_skill_holdout_calibrated"] > 1.0
+    assert metrics_v3c["pdf_w1_u_skill_holdout_qmap"] > 1.3
+    assert metrics_v3c["pdf_w1_v_skill_holdout_qmaplf"] > 1.5
+    assert metrics_v3c["field_skill_vs_baseline"] > 1.3
+    assert metrics_v3c["test_bpd"] < -6.5
