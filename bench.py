@@ -81,8 +81,8 @@ CPU_DENOMINATOR_STEPS_PER_SEC = 0.190
 # only as a clearly-labelled fallback when the live compile outlives
 # the watchdog (compile variance through the remote helper measured
 # 668s..>1390s for the identical graph within one day). From the
-# 2026-08-21 rc=0 run recorded in docs/PERF_NOTES.md (r3).
-COMMITTED_PRIMARY_STEPS_PER_SEC = 108.941
+# 2026-08-21 r4 rc=0 rehearsal (all sections live, is_fallback:false).
+COMMITTED_PRIMARY_STEPS_PER_SEC = 108.708
 
 # Committed measurements reported when a section's live run is
 # deadline-skipped (value, provenance). Keep in sync with the cited
@@ -90,16 +90,16 @@ COMMITTED_PRIMARY_STEPS_PER_SEC = 108.941
 _COMMITTED_FALLBACKS = {
     "train": {
         "train_windows_per_sec": (
-            14.638,
-            "committed full r3 bench run on this chip (rc=0, "
-            "2026-08-21, PERF_NOTES r3)",
+            14.712,
+            "committed full r4 bench rehearsal on this chip (rc=0, "
+            "2026-08-21)",
         ),
     },
     "cylinder": {
         "cylinder_steps_per_sec": (
-            423.451,
-            "committed full r3 bench run on this chip (rc=0, "
-            "2026-08-21, PERF_NOTES r3)",
+            414.822,
+            "committed full r4 bench rehearsal on this chip (rc=0, "
+            "2026-08-21)",
         ),
     },
     "pallas": {
