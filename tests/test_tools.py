@@ -981,3 +981,26 @@ def test_probe_tau_stability_smoke(tmp_path):
     for r in rows:
         assert r["first_nonfinite_step"] == -1  # finite at init
         assert len(r["max_abs_head"]) == 4
+
+
+def test_probe_width_smoke():
+    """The coupling-width costing probe (r3 VERDICT weak item 4) runs a
+    tiny model at two widths: param count grows with width, rates are
+    positive, and dotted config overrides pass through to load_case."""
+    from tpuflow.tools.probe_width import main as width_main
+
+    rows = width_main(
+        [
+            "backward-step",
+            "steps=2", "samples=2", "widths=8,16",
+            "model.n_scales=2", "model.n_flow_steps=2",
+            "model.coupling_layers=2", "model.growth_rate=4",
+            "model.encoder_width=8", "model.lstm_hidden=8",
+            "model.cond_channels=8",
+            "model.hf_shape=16,32", "model.lf_shape=4,8",
+            "model.use_pallas=false",
+        ]
+    )
+    assert [r["coupling_width"] for r in rows] == [8, 16]
+    assert rows[1]["n_params"] > rows[0]["n_params"]
+    assert all(r["rollout_steps_per_sec"] > 0 for r in rows)

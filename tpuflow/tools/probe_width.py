@@ -52,7 +52,13 @@ def _median_rate(fn, args, n_units: int, repeats: int = 3) -> float:
     return sorted(rates)[len(rates) // 2]
 
 
-def probe(case: str, width: int, steps: int, n_samples: int = N_SAMPLES) -> dict:
+def probe(
+    case: str,
+    width: int,
+    steps: int,
+    n_samples: int = N_SAMPLES,
+    overrides: dict | None = None,
+) -> dict:
     from tpuflow.configs.config import load_case
     from tpuflow.data import generate_case
     from tpuflow.eval.rollout import make_ensemble_rollout
@@ -61,6 +67,7 @@ def probe(case: str, width: int, steps: int, n_samples: int = N_SAMPLES) -> dict
     cfg = load_case(
         case,
         {
+            **(overrides or {}),
             "model.coupling_width": width,
             "eval.n_samples": n_samples,
             "eval.rollout_steps": steps,
@@ -105,9 +112,13 @@ def main(argv=None) -> list[dict]:
     steps = int(kv.get("steps", ROLLOUT_STEPS))
     samples = int(kv.get("samples", N_SAMPLES))
     widths = [int(w) for w in kv.get("widths", "64,128").split(",")]
+    # Anything else (dotted config paths) passes through to load_case —
+    # same convention as the other probes, and what lets the unit test
+    # run this on a tiny model.
+    overrides = {k: v for k, v in kv.items() if k not in ("steps", "samples", "widths")}
     rows = []
     for w in widths:
-        row = probe(case, w, steps, samples)
+        row = probe(case, w, steps, samples, overrides)
         rows.append(row)
         print(json.dumps(row), flush=True)
     if len(rows) >= 2:
