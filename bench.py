@@ -253,7 +253,8 @@ def _build(case: str = "backward-step", n_samples: int = N_SAMPLES):
     cfg, rollout = _make_rollout(case, n_samples)
     model = TMGlow(cfg.model)
     lf, hf = generate_case(
-        case, 1, 2, cfg.model.hf_shape, cfg.model.lf_shape, seed=0
+        case, 1, 2, cfg.model.hf_shape, cfg.model.lf_shape, seed=0,
+        fixture_version=cfg.data.fixture_version,
     )
     state = init_lstm_state(cfg.model, (1,))
     variables = model.init(
@@ -261,7 +262,8 @@ def _build(case: str = "backward-step", n_samples: int = N_SAMPLES):
     )
     lf_traj_np = np.concatenate(
         [generate_case(case, 1, 64, cfg.model.hf_shape,
-                       cfg.model.lf_shape, seed=1)[0][0]] * 2
+                       cfg.model.lf_shape, seed=1,
+                       fixture_version=cfg.data.fixture_version)[0][0]] * 2
     )[:ROLLOUT_STEPS]
     return cfg, variables, rollout, lf_traj_np
 
@@ -331,7 +333,8 @@ def _bench_train() -> float:
     model = TMGlow(cfg.model)
     b, t, w = cfg.data.batch_size, cfg.data.train_steps, cfg.data.window
     lf, hf = generate_case(
-        "backward-step", b, t, cfg.model.hf_shape, cfg.model.lf_shape, seed=2
+        "backward-step", b, t, cfg.model.hf_shape, cfg.model.lf_shape, seed=2,
+        fixture_version=cfg.data.fixture_version,
     )
     state = init_lstm_state(cfg.model, (b,))
     variables = model.init(

@@ -17,8 +17,27 @@ os.environ["XLA_FLAGS"] = (
 )
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() == 8, jax.device_count()
+
+
+def pytest_collection_modifyitems(config, items):
+    """Tier markers (VERDICT r4 item 8; docs/OPERATIONS.md).
+
+    - tests/test_converged.py = the committed-artifact tier
+      (``converged``): cheap JSON/CSV pins over runs/ evidence.
+    - anything explicitly ``@pytest.mark.slow`` = the heavy tier.
+    - everything else gets ``fast`` automatically, so ``pytest -m
+      fast`` is a maintained sub-5-minute iteration tier without
+      hand-marking every test. Converged pins are cheap, so they are
+      in the fast tier too (both markers apply).
+    """
+    for item in items:
+        if "test_converged" in str(item.fspath):
+            item.add_marker(pytest.mark.converged)
+        if item.get_closest_marker("slow") is None:
+            item.add_marker(pytest.mark.fast)

@@ -55,6 +55,7 @@ def test_rollout_stats_mode():
     assert float(out["var"].mean()) > 0
 
 
+@pytest.mark.slow  # 16-45s on the 1-core bench host
 def test_rollout_fields_mode_matches_stats():
     model, variables = _variables()
     lf_traj = jnp.asarray(
@@ -201,6 +202,7 @@ def test_long_horizon_rollout_stats_mode():
     assert np.all(np.isfinite(out["var"]))
 
 
+@pytest.mark.slow  # 16-45s on the 1-core bench host
 def test_rollout_ensemble_sharded():
     """Ensemble members shard across the 8 fake devices with identical
     results to unsharded (zero-communication parallelism)."""
@@ -609,6 +611,7 @@ def test_spread_scale_identity_when_calibrated():
     assert abs(s - 1.0) < 0.1
 
 
+@pytest.mark.slow  # 16-45s on the 1-core bench host
 def test_batched_rollout_matches_loop():
     """Batched multi-trajectory rollout == per-trajectory loop with the
     same keys (vmap is a pure batching transform), and the data-sharded
@@ -788,6 +791,7 @@ def test_lf_conditioned_qmap_transfers_across_scales():
     assert w1_lf < 0.6 * w1_global, (w1_lf, w1_global)
 
 
+@pytest.mark.slow  # 16-45s on the 1-core bench host
 def test_rollout_overflow_redraw_smoke():
     """overflow_redraw: identical shapes, finite output, and the
     no-overflow fast path produces valid (different-stream) samples;

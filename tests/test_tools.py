@@ -70,6 +70,7 @@ def _params_to_torch_state_dict(params):
     return sd
 
 
+@pytest.mark.slow  # 16-45s on the 1-core bench host
 def test_convert_roundtrip_and_validation():
     variables = _model_variables()
     sd = _variables_to_torch_state_dict(variables)
@@ -169,6 +170,7 @@ def test_convert_main_produces_loadable_checkpoint(tmp_path):
     np.testing.assert_array_equal(np.asarray(p_src), np.asarray(p_conv))
 
 
+@pytest.mark.slow  # 16-45s on the 1-core bench host
 def test_export_rollout_roundtrip(tmp_path):
     """jax.export serving artifact: serialize the rollout (weights +
     denormalization baked in), deserialize WITHOUT any tpuflow code
@@ -923,6 +925,7 @@ def test_doctor_aggregation(monkeypatch, capsys):
     assert "NOT healthy" in capsys.readouterr().out
 
 
+@pytest.mark.slow  # 16-45s on the 1-core bench host
 def test_sweep_members(tmp_path):
     """Throughput-vs-ensemble-width study runs on random init + synthetic
     LF input (no checkpoint/dataset), one JSON row per width, and writes
@@ -956,6 +959,7 @@ def test_sweep_members(tmp_path):
     assert saved == rows
 
 
+@pytest.mark.slow  # 16-45s on the 1-core bench host
 def test_probe_tau_stability_smoke(tmp_path):
     """The sampling-stability probe (PAPER_PARITY 'Sampling stability'
     measurement tool) runs untrained+synthetic at low tau: one row per
@@ -983,6 +987,7 @@ def test_probe_tau_stability_smoke(tmp_path):
         assert len(r["max_abs_head"]) == 4
 
 
+@pytest.mark.slow  # 16-45s on the 1-core bench host
 def test_probe_width_smoke():
     """The coupling-width costing probe (r3 VERDICT weak item 4) runs a
     tiny model at two widths: param count grows with width, rates are

@@ -10,9 +10,9 @@ errors of the prediction against the HF reference, with figures.
 Orchestration only (VERDICT r3 weak #3): every metric family lives in
 tested functions in ``tpuflow/eval/metrics.py``; this main() sequences
 rollouts -> per-trajectory metrics -> trajectory-0 shape metrics ->
-calibration fits -> holdout scoring -> the metrics dict. The refactor
-is byte-identical on eval_metrics.json vs the pre-refactor evaluator
-(oracle: .verify_eval_oracle.py).
+calibration fits -> holdout scoring -> the metrics dict. The output
+contract is pinned by the committed regression oracle
+(tests/test_eval_oracle.py over runs/r5_eval_oracle).
 """
 
 from __future__ import annotations

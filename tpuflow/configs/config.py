@@ -138,12 +138,16 @@ class DataConfig:
     # multi-fidelity premise); 3 = v2 plus a broadband HF-only
     # turbulent cascade (E(k) ~ k^-3 between the LF and HF resolution
     # limits, stochastic per mode — genuine conditional uncertainty at
-    # high k; VERDICT r3 item 3). v2 is the DEFAULT posture for
-    # training, eval and the bench until v3 is validated by a
-    # converged run; the golden pins (tests/test_golden.py) call the
-    # generator with an explicit version and stay on v1. Ignored for
-    # real archives.
-    fixture_version: int = 2
+    # high k; VERDICT r3 item 3). v3 is the DEFAULT posture (VERDICT
+    # r4 item 3): it was validated by converged runs on BOTH cases in
+    # round 4 (runs/r4_v3, runs/r4_v3cyl), and the r4 diagnosis showed
+    # v2's TKE-window inversion and cylinder spectrum loss were
+    # substantially fixture artifacts of its streamfunction-smooth HF.
+    # The golden pins (tests/test_golden.py) call the generator with
+    # an explicit version and stay on v1; the committed v2-era run
+    # evals pin fixture_version=2 explicitly. Ignored for real
+    # archives.
+    fixture_version: int = 3
     # Training-split loading strategy: "ram" loads the whole archive
     # (reference behaviour); "stream" serves trajectory batches from a
     # .tpf store via the native C++ loader with fused normalization
@@ -169,15 +173,20 @@ class DataConfig:
 @dataclass(frozen=True)
 class TrainConfig:
     epochs: int = 100
-    lr: float = 1e-3
+    # lr/grad_clip are the fixture-v3-stable posture measured in r4
+    # (runs/r4_v3 supervisor evidence): the r3 preset (lr 1e-3, clip
+    # 1000) NaN'd at epoch 81 on the rougher broadband-cascade
+    # landscape; lr 5e-4 + clip 100 converged 400 epochs on BOTH cases
+    # with no restarts. Historical context for the clip value: clip=10
+    # saturated 50-110x late in r2 training (every update
+    # direction-only) — the clip must stay well above typical late
+    # grad norms, and 100 does on v3 (r4 logs). Defaults match the
+    # case presets so programmatic TrainConfig() reproduces the
+    # measured behavior (VERDICT r3 weak #2).
+    lr: float = 5e-4
     lr_decay: float = 0.995
     weight_decay: float = 0.0
-    # r3 measurement (runs/r3_train): clip=10 saturated 50-110x late in
-    # training (every update direction-only); at 1000 only ~4% of late
-    # steps clip and second-moment skill improved. Default matches the
-    # measured case presets so programmatic TrainConfig() reproduces
-    # the r3 behavior.
-    grad_clip: float = 1000.0
+    grad_clip: float = 100.0
     # Rematerialize per-timestep activations inside the BPTT window to
     # bound HBM (SURVEY.md §7 hard part 3). Default off by measurement:
     # at the production configs (batch 8 x window 8, 64x128 grid) the

@@ -74,7 +74,28 @@ def load_eval_bundle(
     })
     norm = NormStats.from_dict(state_tree["norm"])
     print(f"loaded checkpoint step {actual_step} from {ckpt_dir}")
-    return model, variables, norm, dict(restored.get("meta") or {})
+    meta = dict(restored.get("meta") or {})
+    # Fixture-version reconciliation (round 5: the default moved
+    # v2 -> v3): silently evaluating a checkpoint against a DIFFERENT
+    # synthetic fixture than it was trained on produces plausible
+    # garbage. Loud warning, not an error — cross-fixture evaluation
+    # is a legitimate explicit experiment.
+    ckpt_fx = ((meta.get("config") or {}).get("data") or {}).get(
+        "fixture_version"
+    )
+    if (
+        cfg.data.synthetic
+        and ckpt_fx is not None
+        and ckpt_fx != cfg.data.fixture_version
+    ):
+        print(
+            f"WARNING: checkpoint was trained on fixture v{ckpt_fx} but "
+            f"this evaluation generates fixture "
+            f"v{cfg.data.fixture_version} — pass "
+            f"data.fixture_version={ckpt_fx} unless the cross-fixture "
+            "comparison is intentional"
+        )
+    return model, variables, norm, meta
 
 
 def resolve_temperature(cfg: CaseConfig, meta: dict):

@@ -3,9 +3,11 @@
 VERDICT r3 weak #3: the evaluator's metric orchestration lived in one
 773-line ``main()``. This module owns the tested, unit-callable
 pieces; ``cli/evaluate.py`` is the thin orchestration that sequences
-them. Behavior contract: the refactor is BYTE-IDENTICAL on
-eval_metrics.json (regression oracle: .verify_eval_oracle.py runs the
-same checkpoints pre/post and diffs the JSON).
+them. Behavior contract: eval_metrics.json is pinned by the COMMITTED
+regression oracle — tests/test_eval_oracle.py re-derives
+``runs/r5_eval_oracle`` with the current evaluator and diffs the JSON
+(tolerance-zero key set, tight float tolerance); regenerate with
+``python -m tpuflow.tools.make_eval_oracle``.
 
 Families:
   * rollout_test_split — batched stats-mode rollout over the split

@@ -15,7 +15,11 @@ costs real throughput (ratio << 1 → the C=64 choice is also a perf
 choice).
 
 Usage:
-  python -m tpuflow.tools.probe_width [case] [steps=60] [widths=64,128]
+  python -m tpuflow.tools.probe_width [case] [steps=60] [widths=64,128] \
+      [tau=0.7]
+
+The sampling temperature is traced (zero perf impact) but recorded in
+every emitted row so the measured graph is fully specified.
 
 Parity: SURVEY.md §5 tracing/profiling row (perf tooling family).
 """
@@ -58,12 +62,15 @@ def probe(
     steps: int,
     n_samples: int = N_SAMPLES,
     overrides: dict | None = None,
+    tau: float = 0.7,
 ) -> dict:
     from tpuflow.configs.config import load_case
     from tpuflow.data import generate_case
     from tpuflow.eval.rollout import make_ensemble_rollout
     from tpuflow.models import TMGlow, init_lstm_state
 
+    # eval.n_samples / eval.rollout_steps are written into cfg AND
+    # consumed from it below — one source of truth (r4 advisor).
     cfg = load_case(
         case,
         {
@@ -73,10 +80,13 @@ def probe(
             "eval.rollout_steps": steps,
         },
     )
+    steps = cfg.eval.rollout_steps
+    n_samples = cfg.eval.n_samples
     model = TMGlow(cfg.model)
     lf, hf = generate_case(
         case, 1, max(steps, WINDOW + 1), cfg.model.hf_shape,
         cfg.model.lf_shape, seed=0,
+        fixture_version=cfg.data.fixture_version,
     )
     state = init_lstm_state(cfg.model, (1,))
     variables = model.init(
@@ -87,7 +97,7 @@ def probe(
     )
 
     rollout = jax.jit(
-        make_ensemble_rollout(model, n_samples, temperature=0.7, collect="stats")
+        make_ensemble_rollout(model, n_samples, temperature=tau, collect="stats")
     )
     lf_traj = jnp.asarray(lf[0, :steps])
     rollout_rate = _median_rate(
@@ -101,6 +111,7 @@ def probe(
         "rollout_steps_per_sec": round(rollout_rate, 3),
         "rollout_steps": steps,
         "n_samples": n_samples,
+        "temperature": tau,
         "backend": jax.default_backend(),
     }
 
@@ -112,13 +123,24 @@ def main(argv=None) -> list[dict]:
     steps = int(kv.get("steps", ROLLOUT_STEPS))
     samples = int(kv.get("samples", N_SAMPLES))
     widths = [int(w) for w in kv.get("widths", "64,128").split(",")]
+    tau = float(kv.get("tau", 0.7))
     # Anything else (dotted config paths) passes through to load_case —
     # same convention as the other probes, and what lets the unit test
-    # run this on a tiny model.
-    overrides = {k: v for k, v in kv.items() if k not in ("steps", "samples", "widths")}
+    # run this on a tiny model. Echo the resolved case up front so a
+    # mistyped positional arg (which would silently fall back to
+    # backward-step) is visible before a long probe run (r4 advisor).
+    overrides = {
+        k: v
+        for k, v in kv.items()
+        if k not in ("steps", "samples", "widths", "tau")
+    }
+    print(
+        json.dumps({"probing_case": case, "widths": widths, "tau": tau}),
+        flush=True,
+    )
     rows = []
     for w in widths:
-        row = probe(case, w, steps, samples, overrides)
+        row = probe(case, w, steps, samples, overrides, tau=tau)
         rows.append(row)
         print(json.dumps(row), flush=True)
     if len(rows) >= 2:
