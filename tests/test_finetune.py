@@ -286,3 +286,72 @@ def test_finetune_prior_scope_freezes_decoder():
             )
     assert moved_any_prior
     assert not np.allclose(np.asarray(lt1), np.asarray(log_tau))
+
+
+# ---------------------------------------------------------------------------
+# Driver-level overflow guard (tools/finetune.py; measured necessity in
+# r5: fine-tuning the 800-epoch checkpoint ran 6 healthy epochs then
+# collapsed bpd -9.6 -> -2.4 in one epoch — the guard rolls the saved
+# checkpoint back to the last healthy snapshot and stops early).
+
+def _tiny_args(tmp_path, *extra):
+    return [
+        "backward-step",
+        "model.n_scales=2", "model.n_flow_steps=2", "model.coupling_width=8",
+        "model.coupling_layers=2", "model.growth_rate=4",
+        "model.encoder_width=8", "model.lstm_hidden=8",
+        "model.cond_channels=8", "model.hf_shape=16,32", "model.lf_shape=4,8",
+        "model.compute_dtype=float32",
+        "data.n_train_traj=4", "data.n_test_traj=2", "data.train_steps=8",
+        "data.window=4", "data.batch_size=2",
+        f"train.checkpoint_dir={tmp_path}/ckpt",
+        "train.epochs=1", "train.checkpoint_every=1", "train.log_every=1000",
+        *extra,
+    ]
+
+
+def _read_meta(ckpt_root):
+    import json as _json
+    import pathlib as _pathlib
+
+    d = _pathlib.Path(ckpt_root)
+    step = max(int(p.name) for p in d.iterdir() if p.name.isdigit())
+    return _json.loads((d / str(step) / "meta" / "metadata").read_text())
+
+
+@pytest.mark.slow
+def test_finetune_driver_guard_and_rollback(tmp_path):
+    from tpuflow.cli.train import main as train_main
+    from tpuflow.tools.finetune import main as finetune_main
+
+    train_main(_tiny_args(tmp_path))
+
+    # Healthy run: every epoch under the skip budget -> the FINAL
+    # epoch is saved, no early stop.
+    finetune_main(_tiny_args(
+        tmp_path,
+        f"finetune.checkpoint_dir={tmp_path}/ft_ok",
+        "finetune.epochs=2", "finetune.n_members=2",
+        "finetune.lambda_disp=0.5", "finetune.lr=1e-5",
+        "finetune.train_scope=nets",
+    ))
+    meta = _read_meta(tmp_path / "ft_ok" / "backward-step")
+    assert meta["finetune"]["saved_epoch"] == 1
+    assert meta["finetune"]["early_stopped"] is False
+    assert meta["finetune"]["epochs_run"] == 2
+
+    # Impossible skip budget: every epoch is UNHEALTHY -> two bad
+    # epochs trigger the early stop; with no healthy snapshot the
+    # final state is saved (with the loud warning) and the meta says
+    # what happened.
+    finetune_main(_tiny_args(
+        tmp_path,
+        f"finetune.checkpoint_dir={tmp_path}/ft_stop",
+        "finetune.epochs=6", "finetune.n_members=2",
+        "finetune.lambda_disp=0.5", "finetune.lr=1e-5",
+        "finetune.train_scope=nets",
+        "finetune.max_skipped_frac=-1.0",
+    ))
+    meta2 = _read_meta(tmp_path / "ft_stop" / "backward-step")
+    assert meta2["finetune"]["early_stopped"] is True
+    assert meta2["finetune"]["epochs_run"] == 2

@@ -1,30 +1,10 @@
 #!/bin/bash
-# Round-5 on-chip work queue (VERDICT r4 items 1, 4, 5, 3-bench).
-#
-# Runs the chip-bound round-5 jobs in priority order, each stage
-# timeout-bounded so a wedged tunnel fails loudly and the queue moves
-# on. Designed to be launched behind tools/wait_for_tpu.sh:
-#
-#   nohup tools/wait_for_tpu.sh -- bash tools/r5_chip_queue.sh \
-#       > runs/r5_queue.log 2>&1 &
-#
-# Stage order = value order (if the tunnel dies mid-queue, the most
-# important artifacts are already on disk):
-#   1. backward-step dispersion fine-tune FROM the 800-epoch depth
-#      checkpoint (runs/r4_bstep_deeper) + eval        [VERDICT item 1]
-#   2. cylinder fine-tune FROM the 800-epoch depth checkpoint
-#      (runs/r4_cyl_deeper) + eval64                   [VERDICT item 1]
-#   3. v3 backward-step dispersion fine-tune + eval    [VERDICT item 4]
-#   4. C=128 width probe on-chip                       [VERDICT item 5]
-#   5. bench.py rehearsal (fresh committed-fallback numbers)  [item 3]
-#
-# The fine-tune recipe is the exact r4 one that produced
-# runs/r4_bstep/eval_ft_redraw (knobs read back from that checkpoint's
-# meta): 10 epochs, nets scope, lr 3e-5, lambda_disp 0.5,
-# lambda_crps 0.3, lambda_spec 0.02, learned per-scale tau. Evals of
-# widened samplers use eval.overflow_redraw=true (OPERATIONS.md guard
-# rails). fixture_version is pinned EXPLICITLY per stage so the queue
-# is robust to the round-5 v3 default flip.
+# Round-5 on-chip queue, attempt 2 — with the fine-tune overflow guard
+# (tools/finetune.py early-stop + last-healthy-snapshot rollback) that
+# attempt 1 measured the need for: the ungated 10-epoch recipe from
+# the 800-epoch checkpoint ran 6 healthy epochs (bpd -9.61 -> -9.64,
+# dispersion improving) then collapsed to bpd -2.4 with 61/64 windows
+# skipped (runs/r5_bstep_ft/finetune_log_attempt1_diverged.csv).
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p runs
@@ -36,7 +16,7 @@ FT_KNOBS="finetune.epochs=10 finetune.n_members=6 finetune.lambda_crps=0.3 finet
 
 stage() { echo "=== [$(date -u +%FT%TZ)] $*"; }
 
-stage "1a: backward-step fine-tune from r4_bstep_deeper (800ep, v2)"
+stage "1a: GUARDED backward-step fine-tune from r4_bstep_deeper (800ep, v2)"
 timeout 5400 python -m tpuflow.tools.finetune backward-step \
   data.fixture_version=2 \
   finetune.source_dir=runs/r4_bstep_deeper/checkpoints \
@@ -50,7 +30,7 @@ timeout 3600 python -m tpuflow.cli.evaluate backward-step \
   eval.overflow_redraw=true \
   eval.output_dir=runs/r5_bstep_ft/eval || echo "STAGE-FAIL 1b rc=$?"
 
-stage "2a: cylinder fine-tune from r4_cyl_deeper (800ep, v2)"
+stage "2a: GUARDED cylinder fine-tune from r4_cyl_deeper (800ep, v2)"
 timeout 7200 python -m tpuflow.tools.finetune cylinder-array \
   data.fixture_version=2 \
   finetune.source_dir=runs/r4_cyl_deeper/checkpoints \
@@ -64,7 +44,7 @@ timeout 3600 python -m tpuflow.cli.evaluate cylinder-array \
   eval.overflow_redraw=true eval.calibration_steps=64 \
   eval.output_dir=runs/r5_cyl_ft/eval64 || echo "STAGE-FAIL 2b rc=$?"
 
-stage "3a: v3 backward-step fine-tune from r4_v3 (400ep, v3)"
+stage "3a: GUARDED v3 backward-step fine-tune from r4_v3 (400ep, v3)"
 timeout 5400 python -m tpuflow.tools.finetune backward-step \
   data.fixture_version=3 \
   finetune.source_dir=runs/r4_v3/checkpoints \
@@ -84,15 +64,11 @@ timeout 3600 python -m tpuflow.tools.probe_width backward-step \
   || echo "STAGE-FAIL 4 rc=$?"
 cat runs/r5_probe_width.json
 
-stage "5: bench rehearsal (current repo defaults)"
+stage "5: bench rehearsal (v3 presets)"
 timeout 2400 python bench.py > runs/r5_bench_rehearsal.json \
   2> runs/r5_bench_rehearsal.log || echo "STAGE-FAIL 5 rc=$?"
 tail -2 runs/r5_bench_rehearsal.json
 
-# ---- depth stages (v3 400->800 epoch resumes; r4 measured depth as
-# the decisive quality ingredient on v2 — same probe on the now-default
-# fixture). Seed the run dir with a COPY of the source checkpoints
-# (the r4_cyl_deeper recipe), then resume deterministically.
 stage "6a: v3 backward-step depth resume 400->800"
 if [ ! -d runs/r5_v3_deeper/checkpoints ]; then
   mkdir -p runs/r5_v3_deeper

@@ -325,6 +325,21 @@ class FinetuneConfig:
     source_dir: str = ""
     checkpoint_dir: str = ""
     seed: int = 7
+    # Overflow guard (measured r5: fine-tuning the 800-epoch
+    # backward-step checkpoint ran 6 healthy epochs — bpd −9.61→−9.64,
+    # dispersion improving — while the skipped-window count climbed
+    # 8→36 of 64, then collapsed to bpd −2.4 in one epoch; the r4
+    # "watch the skipped_windows column" rule, automated). An epoch is
+    # HEALTHY iff its skipped-window fraction <= max_skipped_frac AND
+    # its bpd has not risen more than max_bpd_rise above the best
+    # healthy bpd. Healthy epochs snapshot the parameters to host;
+    # the SAVED checkpoint is the last healthy snapshot, not the final
+    # epoch. With early_stop, two consecutive unhealthy epochs (or a
+    # catastrophic bpd rise) abort the run instead of burning chip
+    # time past the boundary.
+    max_skipped_frac: float = 0.4
+    max_bpd_rise: float = 0.5
+    early_stop: bool = True
 
 
 @dataclass(frozen=True)

@@ -131,6 +131,16 @@ def main(argv=None) -> dict:
     n_batches = math.ceil(ds.n_traj / b)
     t_start = time.monotonic()
     metrics = {}
+    # Overflow guard state (FinetuneConfig.max_skipped_frac docstring;
+    # measured necessity: runs/r5_bstep_ft first attempt). The number
+    # of BPTT windows per epoch bounds the skipped-window counter.
+    total_windows = n_batches * (ds.lf.shape[1] // cfg.data.window)
+    good_snap = None          # (epoch, host copy of opt_params)
+    best_healthy_bpd = None   # reference for max_bpd_rise
+    bad_streak = 0
+    early_stopped = False
+    epoch_summaries = {}
+    last_epoch_healthy = True
     for epoch in range(ft.epochs):
         t0 = time.monotonic()
         order = rng_root.permutation(ds.n_traj)
@@ -162,7 +172,68 @@ def main(argv=None) -> dict:
         log_path.write_text("\n".join(log_rows) + "\n")
         print(f"[finetune] {row}", flush=True)
 
+        ep_bpd = float(np.mean(ep["bpd"]))
+        epoch_summaries[epoch] = {
+            "bpd": ep_bpd,
+            "crps": float(np.mean(ep["crps"])),
+            "spec": float(np.mean(ep["spec"])),
+            "disp": float(np.mean(ep["disp"])),
+        }
+        skip_frac = float(np.sum(ep["skipped_windows"])) / max(
+            1, total_windows
+        )
+        healthy = skip_frac <= ft.max_skipped_frac and (
+            best_healthy_bpd is None
+            or ep_bpd <= best_healthy_bpd + ft.max_bpd_rise
+        )
+        last_epoch_healthy = healthy
+        if healthy:
+            # Host snapshot of the last healthy state: the saved
+            # checkpoint rolls back here if later epochs cross the
+            # decoder's validity boundary.
+            good_snap = (epoch, jax.device_get(opt_params))
+            best_healthy_bpd = (
+                ep_bpd if best_healthy_bpd is None
+                else min(best_healthy_bpd, ep_bpd)
+            )
+            bad_streak = 0
+        else:
+            bad_streak += 1
+            print(
+                f"[finetune] epoch {epoch} UNHEALTHY: skipped-window "
+                f"frac {skip_frac:.2f} (max {ft.max_skipped_frac}), "
+                f"bpd {ep_bpd:.3f} (best healthy {best_healthy_bpd})",
+                flush=True,
+            )
+            catastrophic = (
+                best_healthy_bpd is not None
+                and ep_bpd > best_healthy_bpd + 2 * ft.max_bpd_rise
+            )
+            if ft.early_stop and (bad_streak >= 2 or catastrophic):
+                early_stopped = True
+                print(
+                    "[finetune] overflow boundary crossed — stopping "
+                    f"early after epoch {epoch}; saving the last "
+                    "healthy snapshot"
+                    + (f" (epoch {good_snap[0]})" if good_snap else ""),
+                    flush=True,
+                )
+                break
+
     params_ft, log_tau_ft = opt_params
+    saved_epoch = epoch
+    if good_snap is not None and not last_epoch_healthy:
+        saved_epoch, (params_ft, log_tau_ft) = good_snap
+        print(
+            f"[finetune] rolled back to healthy epoch {saved_epoch}",
+            flush=True,
+        )
+    elif good_snap is None:
+        print(
+            "[finetune] WARNING: no healthy epoch — saving the final "
+            "state anyway; inspect the log before deploying",
+            flush=True,
+        )
     learned_tau = [float(t) for t in np.asarray(clipped_tau(log_tau_ft))]
     # Standard state-tree contract: fresh params-only optimizer state
     # (the tuple-pytree fine-tune opt state would break the shared
@@ -183,10 +254,15 @@ def main(argv=None) -> dict:
             "train_scope": ft.train_scope,
             "lr": ft.lr,
             "source_dir": src_cfg.train.checkpoint_dir,
-            "final_bpd": float(np.mean(ep["bpd"])),
-            "final_crps": float(np.mean(ep["crps"])),
-            "final_spec": float(np.mean(ep["spec"])),
-            "final_disp": float(np.mean(ep["disp"])),
+            # Summary of the epoch actually SAVED (the guard may roll
+            # back to the last healthy snapshot).
+            "saved_epoch": saved_epoch,
+            "epochs_run": epoch + 1,
+            "early_stopped": early_stopped,
+            "final_bpd": epoch_summaries[saved_epoch]["bpd"],
+            "final_crps": epoch_summaries[saved_epoch]["crps"],
+            "final_spec": epoch_summaries[saved_epoch]["spec"],
+            "final_disp": epoch_summaries[saved_epoch]["disp"],
         },
     }
     if not ft.learn_tau:
