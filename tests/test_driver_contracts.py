@@ -17,6 +17,7 @@ import json
 import pathlib
 import sys
 
+import pytest
 import jax
 import numpy as np
 
@@ -143,6 +144,7 @@ def test_bench_cpu_fallback_still_emits_json(monkeypatch, capsys):
     assert rec["vs_baseline"] == 1.0
 
 
+@pytest.mark.slow  # 20s+ on the 1-core bench host
 def test_graft_entry_forward_step_jits():
     g = _load("__graft_entry__")
     fn, args = g.entry()
@@ -151,6 +153,7 @@ def test_graft_entry_forward_step_jits():
     assert jax.tree.leaves(state), "recurrent state missing from step output"
 
 
+@pytest.mark.slow  # 20s+ on the 1-core bench host
 def test_graft_entry_dryrun_multichip_8dev():
     g = _load("__graft_entry__")
     g.dryrun_multichip(8)  # raises/asserts on any sharding failure

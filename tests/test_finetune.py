@@ -47,6 +47,7 @@ def test_nll_and_sample_step_shapes_and_conditioning():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow  # 20s+ on the 1-core bench host
 def test_finetune_trajectory_step_updates_params_and_tau():
     from tpuflow.train.finetune import (
         clipped_tau,
@@ -88,6 +89,7 @@ def test_finetune_trajectory_step_updates_params_and_tau():
     assert float(jnp.max(clipped_tau(jnp.log(jnp.asarray([5.0]))))) <= 1.1 + 1e-6
 
 
+@pytest.mark.slow  # 20s+ on the 1-core bench host
 def test_finetune_optimizer_freezes_tau_when_disabled():
     from tpuflow.train.finetune import (
         make_finetune_optimizer,
@@ -225,6 +227,7 @@ def test_fixture_v3_cascade():
     assert np.all(hf3[0][:, _bstep_mask((32, 64)), :2] == 0.0)
 
 
+@pytest.mark.slow  # 20s+ on the 1-core bench host
 def test_finetune_prior_scope_freezes_decoder():
     """train_scope='priors': only the conditional-prior nets (and
     log_tau) move; couplings/encoder/LSTM/actnorm/inv1x1 stay frozen

@@ -173,6 +173,7 @@ def test_fused_coupling_roundtrip(_fused_interpret):
                                atol=1e-5, rtol=1e-6)
 
 
+@pytest.mark.slow  # 20s+ on the 1-core bench host
 def test_fused_coupling_no_cond(_fused_interpret):
     x = _rand(0, (2, 8, 8, 8))
     m_x, m_p = _coupling_pair(jnp.float32)

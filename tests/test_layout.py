@@ -120,6 +120,7 @@ def test_rollout_shapes_and_stat_parity(bundle):
     assert of.shape == (5, 4, 16, 32, 3)
 
 
+@pytest.mark.slow  # 20s+ on the 1-core bench host
 def test_train_step_parity(bundle):
     from tpuflow.train.step import make_optimizer, make_trajectory_train_step
 
@@ -141,6 +142,7 @@ def test_train_step_parity(bundle):
     assert d < 1e-4
 
 
+@pytest.mark.slow  # 20s+ on the 1-core bench host
 def test_hwnc_sharded_rollout_parity():
     """8 fake devices: ensemble axis sharded at member_axis=2."""
     from tpuflow.eval.rollout import make_ensemble_rollout

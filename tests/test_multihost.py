@@ -111,6 +111,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow  # 20s+ on the 1-core bench host
 def test_two_process_mesh_collective(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)

@@ -156,6 +156,7 @@ def test_streaming_dataset_matches_ram(arrays, store_path):
         )
 
 
+@pytest.mark.slow  # 20s+ on the 1-core bench host
 def test_train_with_streaming_loader(arrays, tmp_path):
     """End-to-end: two training epochs off a .tpf store through the
     native streaming loader (data.loader=stream)."""
