@@ -616,3 +616,57 @@ def test_r4_bstep_800ep_raw_dispersion_regression_documented(metrics_bd):
     cov = metrics_bd["coverage_holdout_recalibrated"]
     for level, got in cov.items():
         assert abs(float(level) - got) < 0.06, (level, got)
+
+
+# ---------------------------------------------------------------------------
+# ROUND 5: the merged flagship on the DEFAULT fixture (v3). The
+# spread-skill fine-tune (tpuflow-finetune, 10 epochs, nets scope,
+# lr 3e-5, lambda_disp 0.5 / crps 0.3 / spec 0.02, guarded) run FROM
+# the converged v3 checkpoint produces ONE checkpoint that holds BOTH
+# the quality and the honest-raw-dispersion wins (VERDICT r4 items 1
+# and 4, on the fixture that is now the default):
+#   bpd -6.9 -> -7.47 (improved), raw TKE skill 1.28, raw coverage
+#   0.404@0.50 with tails 0.717/0.837/0.903 (source: 0.58/0.69/0.76),
+#   fitted inflation 1.34 (source 1.61), raw spectrum 0.046 vs bicubic
+#   0.671, Reynolds 1.53, field 2.13.
+
+RUN5V3 = pathlib.Path(__file__).resolve().parent.parent / "runs" / "r5_v3_ft"
+METRICS5V3 = RUN5V3 / "eval" / "backward-step" / "eval_metrics.json"
+
+
+@pytest.fixture(scope="module")
+def metrics_r5v3() -> dict:
+    _require(METRICS5V3)
+    return json.loads(METRICS5V3.read_text())
+
+
+def test_r5_v3_merged_flagship_dispersion_dod(metrics_r5v3):
+    # The r4 item-1 DoD, met RAW in one checkpoint on the default
+    # fixture: coverage >= 0.35 at nominal 0.50 AND raw TKE skill
+    # >= 1.0, with the fine-tune IMPROVING density.
+    cov = metrics_r5v3["coverage_holdout_raw"]
+    assert cov["0.50"] >= 0.35
+    assert metrics_r5v3["tke_skill_holdout_raw"] >= 1.1
+    assert metrics_r5v3["test_bpd"] < -7.3
+    assert metrics_r5v3["spread_scale"] < 1.5
+
+
+def test_r5_v3_merged_flagship_tail_coverage(metrics_r5v3):
+    # VERDICT r4 item 4: the dispersion DoD extended to the TAILS on
+    # the default fixture (committed 0.717/0.837/0.903; floors with
+    # regression headroom).
+    cov = metrics_r5v3["coverage_holdout_raw"]
+    assert cov["0.80"] >= 0.65
+    assert cov["0.90"] >= 0.78
+    assert cov["0.95"] >= 0.85
+
+
+def test_r5_v3_merged_flagship_quality_held(metrics_r5v3):
+    # The dispersion work must not cost the deterministic families.
+    assert metrics_r5v3["field_skill_vs_baseline"] > 1.8
+    assert metrics_r5v3["spectrum_rel_l2_holdout_raw"] < 0.1
+    assert metrics_r5v3["baseline_spectrum_rel_l2_holdout"] > 0.4
+    assert metrics_r5v3["reynolds_skill_holdout_calibrated"] > 1.2
+    assert all(
+        e == e for e in metrics_r5v3["field_rel_l2_per_traj"]
+    ), "NaN trajectory in the stats rollout"
