@@ -120,3 +120,20 @@ timeout 3600 python -m tpuflow.cli.evaluate cylinder-array \
   eval.output_dir=runs/r5_v3cyl_deeper/eval64 || echo "STAGE-FAIL 7b rc=$?"
 
 stage "queue done"
+
+stage "8a: C=128 co-design quality run (v3, 400 epochs, fresh)"
+mkdir -p runs/r5_c128
+timeout 10800 python -m tpuflow.tools.supervise_train backward-step \
+  data.fixture_version=3 model.coupling_width=128 train.epochs=400 \
+  train.lr=5e-4 train.grad_clip=100 train.eval_every=40 \
+  train.checkpoint_dir=runs/r5_c128/checkpoints \
+  > runs/r5_c128/supervisor.log 2>&1 || echo "STAGE-FAIL 8a rc=$?"
+tail -3 runs/r5_c128/supervisor.log
+
+stage "8b: evaluate r5_c128"
+timeout 3600 python -m tpuflow.cli.evaluate backward-step \
+  data.fixture_version=3 model.coupling_width=128 \
+  train.checkpoint_dir=runs/r5_c128/checkpoints \
+  eval.output_dir=runs/r5_c128/eval || echo "STAGE-FAIL 8b rc=$?"
+
+stage "queue really done"
