@@ -40,10 +40,13 @@ ORACLE_OUTPUT = "runs/r5_eval_oracle"
 ORACLE_OVERRIDES = [
     "data.fixture_version=2",
     f"train.checkpoint_dir={REPO / 'runs/r4_bstep_deeper/checkpoints'}",
-    "eval.n_samples=8",
-    "eval.rollout_steps=16",
-    "eval.calibration_steps=8",
-    "eval.ref_steps=32",
+    # As small as the evaluator allows while still exercising every
+    # metric family: the first cut (8 members / 16 steps) cost a
+    # 37-minute test on the 1-core host; this one halves every axis.
+    "eval.n_samples=4",
+    "eval.rollout_steps=8",
+    "eval.calibration_steps=6",
+    "eval.ref_steps=16",
     "eval.traj_batch=2",
 ]
 
