@@ -4,22 +4,25 @@ CURRENT DEPLOYMENT STORY (read this first; VERDICT r4 items 2 & 7).
 The file accumulates pins round by round; the sections below are in
 chronological order, so the CURRENT flagships live near the END:
 
-- backward-step (fixture v2), quality flagship: the 800-epoch depth
-  resume ``runs/r4_bstep_deeper`` (bpd -9.36, TKE calibrated 1.64,
-  field skill 2.31 — the repo's best backward-step numbers). Its raw
-  dispersion regressed vs the fine-tuned model (coverage 0.245@0.50,
-  spread 1.96) — pinned honestly in its own section.
-- backward-step (fixture v2), honest-raw-dispersion flagship: the
-  10-epoch spread-skill fine-tune ``runs/r4_bstep/eval_ft_redraw``
-  (raw coverage 0.406@0.50, raw TKE skill 1.0035, spread 1.10).
-  Round 5 merges the two lineages (fine-tune FROM the 800-epoch
-  checkpoint, ``runs/r5_bstep_ft``) — see the round-5 section.
-- cylinder-array (fixture v2): the 800-epoch depth resume
-  ``runs/r4_cyl_deeper`` meets the full r3 item-1 DoD (TKE calibrated
-  1.34, spectrum 0.218 vs bicubic 0.244).
-- fixture v3 (broadband cascade, the realistic fixture and the
-  round-5 DEFAULT): ``runs/r4_v3`` (backward-step) and
-  ``runs/r4_v3cyl`` (cylinder) — raw wins across the families.
+- backward-step (fixture v2), DEPLOYED flagship: the round-5 MERGED
+  checkpoint ``runs/r5_bstep_ft2`` (gentle guarded spread-skill
+  fine-tune FROM the 800-epoch depth resume): bpd -9.54, raw coverage
+  0.369@0.50, raw TKE 1.099, spread 1.19 — quality and honest raw
+  dispersion in one model. ``runs/r4_bstep_deeper`` stays pinned as
+  the maximum-calibrated-TKE chain (1.64 via 1.96x inflation);
+  ``runs/r4_bstep/eval_ft_redraw`` is the superseded r4 honest-raw
+  lineage (still pinned as a guard).
+- backward-step (fixture v3 — the DEFAULT), DEPLOYED flagship: the
+  merged ``runs/r5_v3_ft`` (raw coverage 0.404@0.50, tails
+  0.72/0.84/0.90, raw TKE 1.28, bpd improved to -7.47).
+- cylinder-array (fixture v2), DEPLOYED flagship: the 800-epoch depth
+  resume ``runs/r4_cyl_deeper`` + its calibration chain (TKE
+  calibrated 1.34, spectrum 0.218 vs bicubic 0.244). The round-5
+  merge attempts are pinned as the measured boundary
+  (``runs/r5_cyl_ft2``: first raw TKE >= 1.0 cylinder model, still
+  sharp).
+- cylinder-array (fixture v3): ``runs/r4_v3cyl`` — raw wins across
+  the families.
 
 Earlier sections (r2 converge, r3 train, r3 cylinder, the r3-model r4
 pins) are HISTORICAL GUARDS: they pin superseded checkpoints so metric
