@@ -785,3 +785,41 @@ def test_r5_cylinder_merge_boundary_documented(metrics_r5c2):
     cov = metrics_r5c2["coverage_holdout_per_level"]
     for level, got in cov.items():
         assert abs(float(level) - got) < 0.08, (level, got)
+
+
+# ---------------------------------------------------------------------------
+# ROUND 5: v3 depth result — the 400->800 epoch deterministic resume
+# on the DEFAULT fixture (runs/r5_v3_deeper; supervisor exit 0, no
+# restarts): depth keeps paying on v3, and WITHOUT the v2-style raw
+# dispersion collapse (bpd -6.9 -> -7.56, raw TKE 1.34, calibrated
+# 1.52, raw coverage 0.377@0.50, spread 1.51, field 2.58, raw
+# spectrum 0.041 vs bicubic 0.671, Reynolds 1.34, u' LF-conditioned
+# 2.05).
+
+RUN5VD = pathlib.Path(__file__).resolve().parent.parent / "runs" / "r5_v3_deeper"
+METRICS5VD = RUN5VD / "eval" / "backward-step" / "eval_metrics.json"
+
+
+@pytest.fixture(scope="module")
+def metrics_r5vd() -> dict:
+    _require(METRICS5VD)
+    return json.loads(METRICS5VD.read_text())
+
+
+def test_r5_v3_deeper_across_the_board(metrics_r5vd):
+    assert metrics_r5vd["test_bpd"] < -7.4
+    assert metrics_r5vd["tke_skill_holdout_raw"] > 1.2
+    assert metrics_r5vd["tke_skill_holdout_calibrated"] > 1.3
+    assert metrics_r5vd["field_skill_vs_baseline"] > 2.2
+    assert metrics_r5vd["spectrum_rel_l2_holdout_raw"] < 0.08
+    assert metrics_r5vd["reynolds_skill_holdout_calibrated"] > 1.2
+    assert metrics_r5vd["pdf_w1_u_skill_holdout_qmaplf"] > 1.5
+
+
+def test_r5_v3_deeper_dispersion_does_not_collapse(metrics_r5vd):
+    # The v2 depth resume regressed raw coverage to 0.245; on v3 the
+    # same +400 epochs KEEPS honest dispersion above the DoD floor —
+    # the collapse was a fixture property (v2's phase-correlated LF
+    # rewards oversharpening), not a depth inevitability.
+    assert metrics_r5vd["coverage_holdout_raw"]["0.50"] >= 0.35
+    assert metrics_r5vd["spread_scale"] < 1.7

@@ -137,3 +137,22 @@ timeout 3600 python -m tpuflow.cli.evaluate backward-step \
   eval.output_dir=runs/r5_c128/eval || echo "STAGE-FAIL 8b rc=$?"
 
 stage "queue really done"
+
+stage "9a: GUARDED gentle fine-tune from the 800-epoch v3 checkpoint"
+timeout 5400 python -m tpuflow.tools.finetune backward-step \
+  data.fixture_version=3 \
+  finetune.source_dir=runs/r5_v3_deeper/checkpoints \
+  finetune.checkpoint_dir=runs/r5_v3_deep_ft/checkpoints \
+  finetune.epochs=16 finetune.n_members=6 finetune.lambda_crps=0.3 \
+  finetune.lambda_spec=0.02 finetune.lambda_disp=0.5 \
+  finetune.train_scope=nets finetune.lr=1e-5 \
+  finetune.max_skipped_frac=0.2 || echo "STAGE-FAIL 9a rc=$?"
+
+stage "9b: evaluate r5_v3_deep_ft (overflow redraw)"
+timeout 3600 python -m tpuflow.cli.evaluate backward-step \
+  data.fixture_version=3 \
+  train.checkpoint_dir=runs/r5_v3_deep_ft/checkpoints \
+  eval.overflow_redraw=true \
+  eval.output_dir=runs/r5_v3_deep_ft/eval || echo "STAGE-FAIL 9b rc=$?"
+
+stage "queue finally done"
