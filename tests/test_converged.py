@@ -823,3 +823,45 @@ def test_r5_v3_deeper_dispersion_does_not_collapse(metrics_r5vd):
     # rewards oversharpening), not a depth inevitability.
     assert metrics_r5vd["coverage_holdout_raw"]["0.50"] >= 0.35
     assert metrics_r5vd["spread_scale"] < 1.7
+
+
+# ---------------------------------------------------------------------------
+# ROUND 5: cylinder v3 depth probe (runs/r5_v3cyl_deeper, 400->800
+# deterministic resume, exit 0) — a measured ASYMMETRY, pinned: depth
+# improves density and keeps the spectrum win on cylinder-v3 (bpd
+# -6.8 -> -7.45, raw spectrum 0.040 vs bicubic 0.614, u' qmap 1.10,
+# v' LF-conditioned 2.10) but OVERSHARPENS the ensemble — raw
+# coverage 0.216@0.50 (400ep-model healthy), spread 3.48, TKE
+# calibrated 1.35 vs the 400-epoch model's 1.66. Depth trades
+# dispersion for sharpness on cylinder on BOTH fixtures, while
+# backward-step-v3 depth was dispersion-free; the DEPLOYED cylinder-v3
+# flagship therefore remains the 400-epoch runs/r4_v3cyl.
+
+RUN5CD = pathlib.Path(__file__).resolve().parent.parent / "runs" / "r5_v3cyl_deeper"
+METRICS5CD = RUN5CD / "eval64" / "cylinder-array" / "eval_metrics.json"
+
+
+@pytest.fixture(scope="module")
+def metrics_r5cd() -> dict:
+    _require(METRICS5CD)
+    return json.loads(METRICS5CD.read_text())
+
+
+def test_r5_v3cyl_deeper_gains(metrics_r5cd):
+    assert metrics_r5cd["test_bpd"] < -7.3
+    assert metrics_r5cd["spectrum_rel_l2_holdout_raw"] < 0.08
+    assert metrics_r5cd["baseline_spectrum_rel_l2_holdout"] > 0.4
+    assert metrics_r5cd["tke_skill_holdout_calibrated"] > 1.2
+    assert metrics_r5cd["pdf_w1_v_skill_holdout_qmaplf"] > 1.5
+
+
+def test_r5_v3cyl_deeper_oversharpening_documented(metrics_r5cd, metrics_v3c):
+    # Ceiling pins for the honest regression vs the deployed 400-epoch
+    # model: if a future change makes these pass the 400ep floors,
+    # re-examine the deployment naming.
+    assert metrics_r5cd["coverage_holdout_raw"]["0.50"] < 0.3
+    assert metrics_r5cd["spread_scale"] > 2.5
+    assert (
+        metrics_r5cd["tke_skill_holdout_calibrated"]
+        < metrics_v3c["tke_skill_holdout_calibrated"]
+    )
