@@ -156,3 +156,20 @@ timeout 3600 python -m tpuflow.cli.evaluate backward-step \
   eval.output_dir=runs/r5_v3_deep_ft/eval || echo "STAGE-FAIL 9b rc=$?"
 
 stage "queue finally done"
+
+stage "10: re-export serving artifacts for the deployed flagships"
+timeout 1800 python -m tpuflow.tools.export_rollout backward-step \
+  data.fixture_version=2 \
+  train.checkpoint_dir=runs/r5_bstep_ft2/checkpoints \
+  eval.output_dir=runs/r5_bstep_ft2/eval || echo "STAGE-FAIL 10a rc=$?"
+timeout 1800 python -m tpuflow.tools.export_rollout backward-step \
+  data.fixture_version=3 \
+  train.checkpoint_dir=runs/r5_v3_deeper/checkpoints \
+  eval.output_dir=runs/r5_v3_deeper/eval || echo "STAGE-FAIL 10b rc=$?"
+
+stage "11: clean solo bench (fallback refresh source)"
+timeout 2400 python bench.py > runs/r5_bench_final.json \
+  2> runs/r5_bench_final.log || echo "STAGE-FAIL 11 rc=$?"
+tail -1 runs/r5_bench_final.json
+
+stage "queue complete"
