@@ -937,3 +937,44 @@ def test_r5_v3_deployed_flagship_dominates_400ep_merge(metrics_r5vdf, metrics_r5
         metrics_r5vdf["field_skill_vs_baseline"]
         > metrics_r5v3["field_skill_vs_baseline"]
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 5: the C=128 width co-design QUALITY leg (docs/PERF_NOTES.md
+# width section; runs/r5_c128 — converged 400-epoch run on the default
+# v3 fixture with the identical schedule/preset as the C=64 run
+# runs/r4_v3, supervisor exit 0). Measured closure: width is near-free
+# in throughput on BOTH paths (rollout +0.3%, train 13.41 vs 13.88
+# windows/s) and buys density (-0.25 bpd at equal schedule), but the
+# physics-skill families do not move — data-limited, not
+# capacity-limited, at this fixture size. C=64 stays the shipped
+# default; coupling_width=128 is the supported perf-free density
+# option.
+
+RUN5C128 = pathlib.Path(__file__).resolve().parent.parent / "runs" / "r5_c128"
+METRICS5C128 = RUN5C128 / "eval" / "backward-step" / "eval_metrics.json"
+
+
+@pytest.fixture(scope="module")
+def metrics_r5c128() -> dict:
+    _require(METRICS5C128)
+    return json.loads(METRICS5C128.read_text())
+
+
+def test_r5_c128_density_win(metrics_r5c128, metrics_v3):
+    # The capacity buys held-out density at equal schedule.
+    assert metrics_r5c128["test_bpd"] < -6.95
+    assert metrics_r5c128["test_bpd"] < metrics_v3["test_bpd"] - 0.15
+
+
+def test_r5_c128_skills_hold_but_do_not_improve(metrics_r5c128, metrics_v3):
+    # The honest half of the decision: skills stay in the healthy band
+    # (all beating bicubic) but do NOT beat the C=64 run — the reason
+    # C=64 remains the shipped default.
+    assert metrics_r5c128["tke_skill_holdout_raw"] > 1.1
+    assert metrics_r5c128["field_skill_vs_baseline"] > 2.0
+    assert metrics_r5c128["spectrum_rel_l2_holdout_raw"] < 0.06
+    assert (
+        metrics_r5c128["tke_skill_holdout_raw"]
+        < metrics_v3["tke_skill_holdout_raw"]
+    )
