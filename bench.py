@@ -88,8 +88,9 @@ CPU_DENOMINATOR_MEASURED_RANGE = (0.09, 0.19)
 # only as a clearly-labelled fallback when the live compile outlives
 # the watchdog (compile variance through the remote helper measured
 # 668s..>1390s for the identical graph within one day). From the
-# 2026-08-21 r4 rc=0 rehearsal (all sections live, is_fallback:false).
-COMMITTED_PRIMARY_STEPS_PER_SEC = 108.708
+# 2026-08-22 r5 clean-solo bench (all sections live, is_fallback:false,
+# runs/r5_bench_final.json).
+COMMITTED_PRIMARY_STEPS_PER_SEC = 108.607
 
 # Committed measurements reported when a section's live run is
 # deadline-skipped (value, provenance). Keep in sync with the cited
@@ -97,16 +98,16 @@ COMMITTED_PRIMARY_STEPS_PER_SEC = 108.708
 _COMMITTED_FALLBACKS = {
     "train": {
         "train_windows_per_sec": (
-            14.712,
-            "committed full r4 bench rehearsal on this chip (rc=0, "
-            "2026-08-21)",
+            14.667,
+            "committed r5 clean-solo bench on this chip (rc=0, "
+            "2026-08-22, runs/r5_bench_final.json)",
         ),
     },
     "cylinder": {
         "cylinder_steps_per_sec": (
-            414.822,
-            "committed full r4 bench rehearsal on this chip (rc=0, "
-            "2026-08-21)",
+            420.503,
+            "committed r5 clean-solo bench on this chip (rc=0, "
+            "2026-08-22, runs/r5_bench_final.json)",
         ),
     },
     "pallas": {
